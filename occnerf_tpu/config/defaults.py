@@ -1,0 +1,159 @@
+"""Default configuration.
+
+Key-for-key compatible with the reference config surface
+(`/root/reference/configs/config.py:10-25` plus
+`/root/reference/configs/default.yaml`), so per-subject yaml overlays written
+for the reference load unchanged.  Module-path values are mapped through the
+registry in :mod:`occnerf_tpu.registry`; the reference's torch module paths
+are accepted as aliases of our implementations.
+"""
+
+from .node import CfgNode
+
+
+def get_default_cfg() -> CfgNode:
+    c = CfgNode()
+
+    # ---- top-level runtime flags (reference configs/config.py:10-25) -----
+    c.resume = False
+    c.eval_iter = 10_000_000          # iteration value used at eval time
+    c.render_folder_name = ""
+    c.ignore_non_rigid_motions = False
+    c.render_skip = 1
+    c.render_frames = 100
+    c.num_workers = 4
+
+    c.category = "occnerf"
+    c.eval = False
+
+    # ---- module selection (registry keys; torch paths are aliased) -------
+    c.network_module = "core.nets.occnerf.network"
+    c.trainer_module = "core.train.trainers.occnerf.trainer"
+    c.lr_updater_module = "core.train.trainers.occnerf.lr_updaters.exp_decay"
+    c.optimizer_module = "core.train.optimizers.occnerf.optimizer"
+
+    c.upsample_pc = False
+
+    # ---- synthetic occlusion (reference default.yaml:17-20) --------------
+    c.occlusion = CfgNode(dict(range=405, mid=451, width=86))
+
+    # ---- embedders --------------------------------------------------------
+    c.embedder = CfgNode(dict(module="core.nets.occnerf.embedders.fourier"))
+    c.non_rigid_embedder = CfgNode(
+        dict(module="core.nets.occnerf.embedders.hannw_fourier"))
+
+    # ---- canonical mlp ----------------------------------------------------
+    c.canonical_mlp = CfgNode(dict(
+        module="core.nets.occnerf.canonical_mlps.mlp_rgb_sigma",
+        mlp_depth=8,
+        mlp_width=256,
+        multires=10,
+        i_embed=0,
+    ))
+
+    # ---- motion weight volume --------------------------------------------
+    c.mweight_volume = CfgNode(dict(
+        module="core.nets.occnerf.mweight_vol_decoders.deconv_vol_decoder",
+        embedding_size=256,
+        volume_size=32,
+        dst_voxel_size=0.0625,
+    ))
+
+    # ---- non-rigid motion mlp ---------------------------------------------
+    c.non_rigid_motion_mlp = CfgNode(dict(
+        module="core.nets.occnerf.non_rigid_motion_mlps.mlp_offset",
+        condition_code_size=69,
+        mlp_width=128,
+        mlp_depth=6,
+        skips=[4],
+        multires=6,
+        i_embed=0,
+        kick_in_iter=1_000_000,
+        full_band_iter=50_000,
+    ))
+
+    # ---- pose decoder ------------------------------------------------------
+    c.pose_decoder = CfgNode(dict(
+        module="core.nets.occnerf.pose_decoders.mlp_delta_body_pose",
+        embedding_size=69,
+        mlp_width=256,
+        mlp_depth=4,
+    ))
+
+    # ---- data keyfilters ---------------------------------------------------
+    c.train_keyfilter = ["rays", "motion_bases", "motion_weights_priors",
+                         "cnl_bbox", "dst_posevec_69"]
+    c.test_keyfilter = ["rays", "target_rgbs", "motion_bases",
+                        "motion_weights_priors", "cnl_bbox", "dst_posevec_69"]
+
+    # ---- training ----------------------------------------------------------
+    c.train = CfgNode(dict(
+        perturb=1.0,
+        batch_size=1,
+        shuffle=True,
+        drop_last=False,
+        maxiter=50_000,
+        lr=0.0005,
+        lr_point_dist=0.0001,
+        lr_neural_point=0.0005,
+        lr_point_cloud=0.0005,
+        lr_mweight_vol_decoder=0.00005,
+        lr_pose_decoder=0.00005,
+        lr_non_rigid_mlp=0.00005,
+        lrate_decay=500,
+        optimizer="adam",
+        log_interval=20,
+        save_checkpt_interval=2000,
+        save_model_interval=40_000,
+        ray_shoot_mode="patch",
+        lossweights=CfgNode(dict(lpips=1.0, mse=0.2)),
+    ))
+
+    # ---- per-split loader blocks -------------------------------------------
+    c.progress = CfgNode(dict(batch_size=1, shuffle=False, drop_last=False,
+                              dump_interval=500))
+    c.movement = CfgNode(dict(batch_size=1, shuffle=False, drop_last=False))
+    c.freeview = CfgNode(dict(batch_size=1, shuffle=False, drop_last=False,
+                              frame_idx=0))
+    c.backview = CfgNode(dict(batch_size=1, shuffle=False, drop_last=False,
+                              frame_idx=0))
+    c.allview = CfgNode(dict(batch_size=1, shuffle=False, drop_last=False,
+                             frame_idx=0))
+    c.tpose = CfgNode(dict(batch_size=1, shuffle=False, drop_last=False))
+
+    # ---- misc ---------------------------------------------------------------
+    c.sex = "neutral"
+    c.total_bones = 24
+    c.bbox_offset = 0.3
+
+    c.load_net = "latest"
+    c.save_all = True
+
+    c.patch = CfgNode(dict(sample_subject_ratio=0.8, N_patches=6, size=32))
+
+    c.N_samples = 128
+    c.crop_image_scale = [-1, -1]
+    c.perturb = 1.0
+    c.resize_img_scale = 1.0
+
+    c.netchunk_per_gpu = 300_000
+    c.chunk = 32_768
+    c.n_gpus = 1
+
+    c.show_alpha = False
+    c.show_truth = False
+
+    # ---- TPU-native additions (absent from the reference; all optional) ---
+    c.tpu = CfgNode(dict(
+        mesh_shape=[-1],            # -1: use all local devices on one axis
+        mesh_axis_names=["data"],
+        param_dtype="float32",
+        compute_dtype="float32",    # bfloat16 optionally for MLP interiors
+        knn_backend="approx",       # 'approx' (lax.approx_max_k) | 'exact'
+        hashgrid_backend="xla",     # 'xla' gather | 'pallas'
+        eval_ray_bucket=8192,       # rays padded to a multiple of this at eval
+        prefetch=2,                 # host->device prefetch depth
+        seed=42,
+    ))
+
+    return c
