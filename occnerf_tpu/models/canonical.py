@@ -1,0 +1,171 @@
+"""Canonical-space appearance networks.
+
+- VanillaCanonicalMLP: classic NeRF MLP (reference
+  `canonical_mlps/mlp_rgb_sigma.py`): positional-embedded input, depth 8 /
+  width 256, skip re-concat at the 6th linear, 4 outputs (rgb + sigma).
+- OccNeRFCanonicalMLP (reference `canonical_mlps/occnerf_mlp.py`): the
+  point-cloud-conditioned network with 4-D hash-grid encodes of
+  (surface point, normalized signed distance), visibility-attention
+  aggregation over 4x10 multiscale neighbours, a geometry MLP -> (64-d
+  feature, sigma) and a color MLP -> rgb; returns 5 channels
+  (rgb, sigma, detached signed distance).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.hashgrid import HashGridSpec, hash_grid_encode
+from .layers import RELU_GAIN, init_linear, linear
+
+
+def _cosine_similarity(a: jnp.ndarray, b: jnp.ndarray,
+                       eps: float = 1e-8) -> jnp.ndarray:
+    num = jnp.sum(a * b, axis=-1)
+    den = jnp.linalg.norm(a, axis=-1) * jnp.linalg.norm(b, axis=-1)
+    return num / jnp.maximum(den, eps)
+
+
+class VanillaCanonicalMLP:
+    def __init__(self, input_ch: int = 63, mlp_depth: int = 8,
+                 mlp_width: int = 256, skips: Sequence[int] | None = None,
+                 **_):
+        self.input_ch = input_ch
+        self.mlp_depth = mlp_depth
+        self.mlp_width = mlp_width
+        # reference skips=[4] on the loop index -> re-concat before the
+        # (skips[i]+1)-th hidden linear (mlp_rgb_sigma.py:22-29)
+        loop_skips = [4] if skips is None else list(skips)
+        self.skip_linears = tuple(s + 1 for s in loop_skips)
+
+    def init(self, key: jax.Array):
+        keys = jax.random.split(key, self.mlp_depth + 1)
+        layers = [init_linear(keys[0], self.input_ch, self.mlp_width,
+                              RELU_GAIN)]
+        for i in range(1, self.mlp_depth):
+            n_in = self.mlp_width + (self.input_ch
+                                     if i in self.skip_linears else 0)
+            layers.append(init_linear(keys[i], n_in, self.mlp_width,
+                                      RELU_GAIN))
+        out = init_linear(keys[-1], self.mlp_width, 4, 1.0)
+        return {"layers": layers, "output": out}
+
+    def apply(self, params, pos_embed: jnp.ndarray, **_):
+        h = pos_embed
+        for i, p in enumerate(params["layers"]):
+            if i in self.skip_linears:
+                h = jnp.concatenate([pos_embed, h], axis=-1)
+            h = jax.nn.relu(linear(p, h))
+        return linear(params["output"], h)
+
+
+class OccNeRFCanonicalMLP:
+    """Inputs per sample (all shapes flattened over rays*samples = N):
+    xyz (N,3) canonical position, knn_points (N,k,3) nearest base verts,
+    point_norms (N,k,3) their normals, knn_att (N,4k,1) visibility counts,
+    knn_idxs (N,4,k), plus per-*vertex* quantities: surface_points (V,3)
+    (the 3-NN normal-weighted surface aggregate the reference calls
+    ``point_cloud``), point_sdf (V,1), learnable_points (V,3).
+    """
+
+    def __init__(self, mlp_depth: int = 4, mlp_width: int = 256,
+                 bound: float = 1.0, num_levels: int = 16, level_dim: int = 2,
+                 base_resolution: int = 16, log2_hashmap_size: int = 19,
+                 **_):
+        self.mlp_depth = mlp_depth
+        self.mlp_width = mlp_width
+        self.bound = float(bound)
+        self.spec = HashGridSpec.create(
+            input_dim=4, num_levels=num_levels, level_dim=level_dim,
+            base_resolution=base_resolution,
+            log2_hashmap_size=log2_hashmap_size,
+            desired_resolution=2048 * self.bound, gridtype="hash")
+        self.enc_dim = self.spec.output_dim        # 32
+        self.feat_dim = self.enc_dim + 3           # +learnable point coords
+        self.geo_in = self.feat_dim + 1 + self.enc_dim   # agg + var + enc
+        self.rgb_in = 64 + self.feat_dim + self.enc_dim
+
+    def init(self, key: jax.Array):
+        k_enc, k_geo, k_geo2, k_rgb, k_out = jax.random.split(key, 5)
+
+        def stack(k, first_in):
+            ks = jax.random.split(k, self.mlp_depth)
+            dims = [first_in] + [self.mlp_width] * self.mlp_depth
+            return [init_linear(ks[i], dims[i], dims[i + 1], RELU_GAIN)
+                    for i in range(self.mlp_depth)]
+
+        return {
+            "encoder": self.spec.init_table(k_enc),
+            "pts_linears": stack(k_geo, self.geo_in),
+            "geo_linear": init_linear(k_geo2, self.mlp_width, 64 + 1, 1.0),
+            "rgb_linears": stack(k_rgb, self.rgb_in),
+            "output_linear": init_linear(k_out, self.mlp_width, 3, 1.0),
+        }
+
+    # -- pieces -------------------------------------------------------------
+    def simple_agg(self, atts: jnp.ndarray, feats: jnp.ndarray):
+        """Visibility-attention aggregation (occnerf_mlp.py:86-126):
+        min-shift, max-normalize, variance feature, softmax (detached)."""
+        atts = atts + 1.0 - jnp.min(atts, axis=1, keepdims=True)
+        atts = atts / jnp.max(atts, axis=1, keepdims=True)
+        var = jnp.var(atts, axis=1, ddof=1)                      # (N, 1)
+        atts = jax.nn.softmax(atts, axis=1)
+        agg = jnp.sum(jax.lax.stop_gradient(atts) * feats, axis=1)
+        return agg.reshape(agg.shape[0], -1), var
+
+    def apply(self, params, xyz: jnp.ndarray, knn_points: jnp.ndarray,
+              point_norms: jnp.ndarray, knn_att: jnp.ndarray,
+              surface_points: jnp.ndarray, point_sdf: jnp.ndarray,
+              knn_idxs: jnp.ndarray, learnable_points: jnp.ndarray,
+              **_):
+        N, k = knn_idxs.shape[0], knn_idxs.shape[2]
+
+        # inside/outside + distance from the k-NN cloud (no-grad block,
+        # occnerf_mlp.py:146-157)
+        direction = jax.lax.stop_gradient(xyz[:, None, :] - knn_points)
+        dots = jnp.einsum("nkd,nkd->nk", direction, point_norms)
+        inside = jnp.sum(dots < 0, axis=1) > k * 0.5
+        dist = jnp.mean(jnp.linalg.norm(direction, axis=-1), axis=1,
+                        keepdims=True)
+        dist = jnp.where(inside[:, None], -dist, dist)
+        dist = jax.lax.stop_gradient(dist)
+        normed_dist = jnp.clip((dist + 0.2) / 0.5, 0.0, 1.0)
+
+        # normal-cosine-weighted surface point from the 3 nearest
+        # (occnerf_mlp.py:164-167)
+        knn_n = (knn_points + self.bound) / (2 * self.bound)
+        att = jnp.abs(_cosine_similarity(direction[:, :3],
+                                         point_norms[:, :3]))[..., None]
+        surf = jnp.sum(att * knn_n[:, :3], axis=1) / jnp.sum(att, axis=1)
+        h_enc = hash_grid_encode(
+            jnp.concatenate([surf, normed_dist], axis=-1),
+            params["encoder"], self.spec)                        # (N, 32)
+
+        # per-vertex features: encode (surface aggregate, sdf), append the
+        # learnable points, gather the 4x10 neighbourhood
+        # (occnerf_mlp.py:171-178)
+        pc_n = (surface_points + self.bound) / (2 * self.bound)
+        sdf_n = jnp.clip((point_sdf + 0.2) / 0.8, 0.0, 1.0)
+        vert_feat = hash_grid_encode(
+            jnp.concatenate([pc_n, sdf_n], axis=-1),
+            params["encoder"], self.spec)                        # (V, 32)
+        vert_feat = jnp.concatenate([vert_feat, learnable_points], axis=-1)
+        knn_feats = vert_feat[knn_idxs.reshape(N, -1)]           # (N, 4k, 35)
+
+        agg, var = self.simple_agg(knn_att, knn_feats)           # (N,35),(N,1)
+
+        h = jnp.concatenate([agg, var, h_enc], axis=-1)
+        for p in params["pts_linears"]:
+            h = jax.nn.relu(linear(p, h))
+        h = linear(params["geo_linear"], h)
+        sigma = h[..., :1]
+
+        h = jnp.concatenate([h[..., 1:], agg, h_enc], axis=-1)
+        for p in params["rgb_linears"]:
+            h = jax.nn.relu(linear(p, h))
+        rgb = linear(params["output_linear"], h)
+
+        return jnp.concatenate([rgb, sigma, dist], axis=-1)

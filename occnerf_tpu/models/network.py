@@ -1,0 +1,420 @@
+"""The OccNeRF network as a pure function over parameter/state pytrees.
+
+Behavioral spec: `core/nets/occnerf/network.py` (forward recipe in
+SURVEY.md §2.3).  Architectural differences from the reference, by design:
+
+- No ``nn.DataParallel`` / chunked ``netchunk`` loop: the whole ray batch is
+  evaluated in one jitted graph; multi-chip scaling shards the ray axis over
+  a ``jax.sharding.Mesh`` (see ``occnerf_tpu.parallel``).
+- The 24x ``grid_sample`` python loop collapses into one vectorized
+  gather-lerp (``ops.trilinear.sample_motion_fields``).
+- PyKeOps block-sparse KNN becomes an MXU distance-matmul + top-k
+  (``ops.knn.multiscale_knn``).
+- The CUDA hash-grid encoder becomes ``ops.hashgrid``.
+- The ``point_counter`` side-effect (`network.py:517`) becomes explicit
+  carried state: forward returns the updated counter.
+
+Quirks reproduced deliberately (SURVEY.md §7 hard-part 6): ``point_dist``
+has shape (V, 1) broadcasting over xyz; the pose refiner activates at eval
+because ``eval_iter >= kick_in_iter``; the non-rigid embedding is all-zero
+before ``kick_in_iter``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import cfg as global_cfg
+from ..ops.knn import knn, multiscale_knn
+from ..ops.raymarch import raw2outputs, sample_zvals, stratify_zvals
+from ..ops.trilinear import sample_motion_fields
+from ..utils.mesh import multiscale_fps_indices, vertex_normals
+from .canonical import OccNeRFCanonicalMLP, VanillaCanonicalMLP, \
+    _cosine_similarity
+from .embedders import fourier_embed, fourier_out_dim, hannw_fourier_embed
+from .layers import rodrigues_device
+from .motion import motion_basis
+from .mweight import DeconvVolumeDecoder, SelfVolumeDecoder
+from .nonrigid import NonRigidMotionMLP
+from .pose_refiner import BodyPoseRefiner
+
+
+@dataclasses.dataclass(frozen=True)
+class NetworkConfig:
+    """Static configuration distilled from the yacs cfg node."""
+
+    total_bones: int = 24
+    n_samples: int = 128
+    chunk: int = 8192
+    bbox_offset: float = 0.3
+    knn_k: int = 10
+    sdf_k: int = 3
+    knn_backend: str = "approx"
+
+    canonical_module: str = "core.nets.occnerf.canonical_mlps.occnerf_mlp"
+    cnl_mlp_depth: int = 4
+    cnl_mlp_width: int = 256
+    cnl_multires: int = 10
+    cnl_i_embed: int = 0
+    # hash-grid geometry (occnerf_mlp.py:45); shrinkable for tests
+    cnl_num_levels: int = 16
+    cnl_level_dim: int = 2
+    cnl_base_resolution: int = 16
+    cnl_log2_hashmap_size: int = 19
+
+    mweight_module: str = \
+        "core.nets.occnerf.mweight_vol_decoders.deconv_vol_decoder"
+    mweight_embedding_size: int = 256
+    mweight_volume_size: int = 32
+
+    nr_multires: int = 6
+    nr_i_embed: int = 0
+    nr_condition_size: int = 69
+    nr_mlp_width: int = 128
+    nr_mlp_depth: int = 6
+    nr_skips: tuple = (4,)
+    nr_kick_in_iter: int = 1_000_000
+    nr_full_band_iter: int = 50_000
+
+    pose_embedding_size: int = 69
+    pose_mlp_width: int = 256
+    pose_mlp_depth: int = 4
+    pose_kick_in_iter: int = 0
+
+    @staticmethod
+    def from_cfg(c=None) -> "NetworkConfig":
+        c = c if c is not None else global_cfg
+        return NetworkConfig(
+            total_bones=c.total_bones,
+            n_samples=c.N_samples,
+            chunk=c.get("tpu", {}).get("eval_ray_bucket", 8192) or 8192,
+            bbox_offset=c.bbox_offset,
+            knn_backend=c.get("tpu", {}).get("knn_backend", "approx"),
+            canonical_module=c.canonical_mlp.module,
+            cnl_mlp_depth=c.canonical_mlp.mlp_depth,
+            cnl_mlp_width=c.canonical_mlp.mlp_width,
+            cnl_multires=c.canonical_mlp.multires,
+            cnl_i_embed=c.canonical_mlp.i_embed,
+            mweight_module=c.mweight_volume.module,
+            mweight_embedding_size=c.mweight_volume.embedding_size,
+            mweight_volume_size=c.mweight_volume.volume_size,
+            nr_multires=c.non_rigid_motion_mlp.multires,
+            nr_i_embed=c.non_rigid_motion_mlp.i_embed,
+            nr_condition_size=c.non_rigid_motion_mlp.condition_code_size,
+            nr_mlp_width=c.non_rigid_motion_mlp.mlp_width,
+            nr_mlp_depth=c.non_rigid_motion_mlp.mlp_depth,
+            nr_skips=tuple(c.non_rigid_motion_mlp.skips),
+            nr_kick_in_iter=c.non_rigid_motion_mlp.kick_in_iter,
+            nr_full_band_iter=c.non_rigid_motion_mlp.full_band_iter,
+            pose_embedding_size=c.pose_decoder.embedding_size,
+            pose_mlp_width=c.pose_decoder.mlp_width,
+            pose_mlp_depth=c.pose_decoder.mlp_depth,
+            pose_kick_in_iter=c.pose_decoder.get("kick_in_iter", 0),
+        )
+
+
+class Network:
+    """Holds submodule objects + static config; all compute is pure fns."""
+
+    def __init__(self, config: Optional[NetworkConfig] = None):
+        self.cfg = config or NetworkConfig.from_cfg()
+        c = self.cfg
+
+        self.is_occnerf_mlp = "occnerf_mlp" in c.canonical_module
+
+        self.pose_refiner = BodyPoseRefiner(
+            embedding_size=c.pose_embedding_size, mlp_width=c.pose_mlp_width,
+            mlp_depth=c.pose_mlp_depth, total_bones=c.total_bones)
+
+        nr_embed_dim = fourier_out_dim(c.nr_multires, 3, include_input=False)
+        self.non_rigid_mlp = NonRigidMotionMLP(
+            pos_embed_size=nr_embed_dim,
+            condition_code_size=c.nr_condition_size,
+            mlp_width=c.nr_mlp_width, mlp_depth=c.nr_mlp_depth,
+            skips=c.nr_skips)
+
+        if "self_vol" in c.mweight_module:
+            self.mweight_decoder = SelfVolumeDecoder(
+                embedding_size=c.mweight_embedding_size,
+                volume_size=c.mweight_volume_size,
+                total_bones=c.total_bones)
+        else:
+            self.mweight_decoder = DeconvVolumeDecoder(
+                embedding_size=c.mweight_embedding_size,
+                volume_size=c.mweight_volume_size,
+                total_bones=c.total_bones)
+
+        self.cnl_embed_dim = fourier_out_dim(c.cnl_multires, 3, True)
+        self.cnl_mlp = None  # built in generate_neural_points (needs bound)
+
+    # ------------------------------------------------------------------
+    # neural point cloud (reference network.py:90-146)
+    # ------------------------------------------------------------------
+    def generate_neural_points(self, verts: np.ndarray, joints: np.ndarray,
+                               faces: np.ndarray) -> Dict[str, Any]:
+        """Build statics from the zero-pose avg-betas SMPL mesh.
+
+        Returns the ``statics`` pytree: frozen point cloud, vertex normals,
+        FPS pyramid, canonical bound.  (The caller runs SMPL on the host and
+        passes verts/joints/faces — keeps this module device-only.)
+        """
+        c = self.cfg
+        min_xyz = joints.min(0) - c.bbox_offset
+        max_xyz = joints.max(0) + c.bbox_offset
+        bound = float(np.max(np.abs(np.concatenate([min_xyz, max_xyz]))))
+
+        normals = vertex_normals(verts, faces)
+        fps_idx = multiscale_fps_indices(verts, levels=3, ratio=0.25)
+
+        if self.is_occnerf_mlp:
+            self.cnl_mlp = OccNeRFCanonicalMLP(
+                mlp_depth=c.cnl_mlp_depth, mlp_width=c.cnl_mlp_width,
+                bound=bound, num_levels=c.cnl_num_levels,
+                level_dim=c.cnl_level_dim,
+                base_resolution=c.cnl_base_resolution,
+                log2_hashmap_size=c.cnl_log2_hashmap_size)
+        else:
+            self.cnl_mlp = VanillaCanonicalMLP(
+                input_ch=self.cnl_embed_dim, mlp_depth=c.cnl_mlp_depth,
+                mlp_width=c.cnl_mlp_width)
+
+        return {
+            "point_base": jnp.asarray(verts, jnp.float32),
+            "point_norms": jnp.asarray(normals, jnp.float32),
+            "fps_idx": tuple(jnp.asarray(i, jnp.int32) for i in fps_idx),
+            "bound": bound,
+            "detailed_bound": jnp.asarray(
+                np.stack([min_xyz, max_xyz]), jnp.float32),
+        }
+
+    # ------------------------------------------------------------------
+    def init(self, key: jax.Array, statics: Dict[str, Any]
+             ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+        """Init (params, state). Call after generate_neural_points."""
+        assert self.cnl_mlp is not None, \
+            "generate_neural_points must run before init"
+        k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+        n_verts = statics["point_base"].shape[0]
+        params = {
+            "mweight_vol_decoder": self.mweight_decoder.init(k1),
+            "non_rigid_mlp": self.non_rigid_mlp.init(k2),
+            "pose_decoder": self.pose_refiner.init(k3),
+            "cnl_mlp": self.cnl_mlp.init(k4),
+            # U(-1e-4, 1e-4), shape (V, 1) broadcasting over xyz —
+            # reference quirk preserved (network.py:108-110)
+            "point_dist": jax.random.uniform(
+                k5, (n_verts, 1), minval=-1e-4, maxval=1e-4,
+                dtype=jnp.float32),
+        }
+        state = {"point_counter": jnp.ones((n_verts,), jnp.float32)}
+        return params, state
+
+    # ------------------------------------------------------------------
+    # forward pieces
+    # ------------------------------------------------------------------
+    def _refine_pose(self, params, dst_Rs, dst_posevec, iter_val):
+        """Right-multiply pose-refiner deltas into non-root rotations when
+        iter >= kick_in (network.py:558-571); where-gated so the same graph
+        serves train and eval."""
+        out = self.pose_refiner.apply(params["pose_decoder"],
+                                      dst_posevec[None])
+        refined = out["Rs"][0]                                # (B-1, 3, 3)
+        merged = jnp.concatenate(
+            [dst_Rs[:1], dst_Rs[1:] @ refined], axis=0)
+        apply = iter_val >= self.cfg.pose_kick_in_iter
+        return jnp.where(apply, merged, dst_Rs)
+
+    def _vertex_quantities(self, params, statics):
+        """Per-vertex surface aggregate + signed distance
+        (network.py:263-284), computed once per forward."""
+        point_base = statics["point_base"]
+        point_cloud = point_base + params["point_dist"]       # (V,1)->(V,3)
+        _, kidx = knn(jax.lax.stop_gradient(point_cloud), point_base,
+                      self.cfg.sdf_k, backend="exact")
+        knn_base = point_base[kidx]                            # (V, 3, 3)
+        direction = point_cloud[:, None, :] - knn_base
+        norms = statics["point_norms"][kidx]                   # (V, 3, 3)
+        att = jnp.abs(_cosine_similarity(direction, norms))[..., None]
+        surface = jnp.sum(att * knn_base, axis=1) / jnp.sum(att, axis=1)
+        inside = jnp.sum(
+            jnp.einsum("vkd,vkd->vk", direction, norms) < 0, axis=1
+        ) > self.cfg.sdf_k * 0.5
+        sdf = jnp.mean(jnp.linalg.norm(direction, axis=-1), axis=1,
+                       keepdims=True)
+        sdf = jnp.where(inside[:, None], -sdf, sdf)
+        return point_cloud, surface, sdf
+
+    def _query_canonical(self, params, statics, state, xyz, iter_val,
+                         non_rigid_input, ignore_non_rigid,
+                         vertex_quant):
+        """Per-sample MLP query (network.py:202-304): non-rigid offset,
+        multiscale KNN, visibility attention, canonical MLP."""
+        c = self.cfg
+        if not ignore_non_rigid:
+            embed = hannw_fourier_embed(xyz, c.nr_multires, iter_val,
+                                        c.nr_kick_in_iter,
+                                        c.nr_full_band_iter)
+            cond = jnp.broadcast_to(non_rigid_input[None],
+                                    (xyz.shape[0],
+                                     non_rigid_input.shape[-1]))
+            xyz = self.non_rigid_mlp.apply(
+                params["non_rigid_mlp"], embed, xyz, cond)["xyz"]
+
+        if not self.is_occnerf_mlp:
+            raws = self.cnl_mlp.apply(
+                params["cnl_mlp"],
+                pos_embed=fourier_embed(xyz, c.cnl_multires))
+            return raws, xyz
+
+        idx = multiscale_knn(jax.lax.stop_gradient(xyz),
+                             statics["point_base"],
+                             statics["fps_idx"], c.knn_k,
+                             backend=c.knn_backend)             # (N, 4, k)
+        counter = jax.lax.stop_gradient(state["point_counter"])
+        N = xyz.shape[0]
+        knn_att = counter[idx.reshape(N, -1)][..., None]        # (N, 4k, 1)
+        point_norms = statics["point_norms"][idx[:, 0]]         # (N, k, 3)
+        knn_points = statics["point_base"][idx[:, 0]]           # (N, k, 3)
+
+        point_cloud, surface, sdf = vertex_quant
+        raws = self.cnl_mlp.apply(
+            params["cnl_mlp"], xyz=xyz, knn_points=knn_points,
+            point_norms=point_norms, knn_att=knn_att,
+            surface_points=surface, point_sdf=sdf, knn_idxs=idx,
+            learnable_points=point_cloud)
+        return raws, xyz
+
+    def _render_chunk(self, params, statics, state, rays_o, rays_d, near,
+                      far, bgcolor, iter_val, non_rigid_input,
+                      motion_scale_Rs, motion_Ts, motion_weights_vol,
+                      cnl_bbox_min_xyz, cnl_bbox_scale_xyz,
+                      *, training, ignore_non_rigid, perturb, rng,
+                      vertex_quant):
+        c = self.cfg
+        n = rays_o.shape[0]
+        z_vals = sample_zvals(near, far, c.n_samples)
+        if perturb > 0.0:
+            z_vals = stratify_zvals(rng, z_vals)
+
+        pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+        x_skel, fg_mask = sample_motion_fields(
+            pts, motion_scale_Rs, motion_Ts, motion_weights_vol,
+            cnl_bbox_min_xyz, cnl_bbox_scale_xyz)
+
+        flat = x_skel.reshape(-1, 3)
+        raws, _ = self._query_canonical(
+            params, statics, state, flat, iter_val, non_rigid_input,
+            ignore_non_rigid, vertex_quant)
+        raw = raws.reshape(n, c.n_samples, -1)
+
+        out = raw2outputs(raw, fg_mask, z_vals, rays_d, bgcolor)
+        result = {"rgb": out.rgb, "alpha": out.acc, "depth": out.depth}
+
+        if training and self.is_occnerf_mlp:
+            dist = raw[..., 4]                                  # (n, S)
+            alpha_s = raw[..., 3]
+            # reproduce network.py:491-499 exactly: the out-of-shell alpha
+            # zeroing only feeds comp_loss (a no-op given dist_in gating,
+            # kept for bit-parity)
+            alpha_m = jnp.where(dist > 0.3, 0.0, alpha_s)
+            dist_in = jax.lax.stop_gradient((dist < 0.0).astype(jnp.float32))
+            comp = dist_in * jnp.exp(
+                jnp.clip(-jax.nn.relu(alpha_m), -10.0, 0.0)) * 10.0
+            result["comp_loss"] = comp.reshape(-1)
+
+            # visibility counter update (network.py:501-517): canonical
+            # points at ray termination, 10-NN into the learnable cloud
+            depth_mask = jax.lax.stop_gradient(out.depth) > 0.5
+            term_pts = jnp.take_along_axis(
+                x_skel, out.term_idx[:, None, None], axis=1)[:, 0]
+            _, vidx = knn(jax.lax.stop_gradient(term_pts),
+                          jax.lax.stop_gradient(vertex_quant[0]),
+                          c.knn_k, backend=c.knn_backend)       # (n, k)
+            w = depth_mask.astype(jnp.float32)
+            inc = jnp.zeros_like(state["point_counter"]).at[
+                vidx.reshape(-1)].add(jnp.repeat(w, c.knn_k))
+            gate = (jnp.sum(depth_mask) > 1).astype(jnp.float32)
+            result["counter_inc"] = inc * gate
+        elif training:
+            result["comp_loss"] = jnp.zeros((1,), jnp.float32)
+
+        return result
+
+    # ------------------------------------------------------------------
+    def forward(self, params, statics, state, batch, iter_val, *,
+                training: bool, ignore_non_rigid: bool = False,
+                perturb: float = 0.0, rng: Optional[jax.Array] = None,
+                chunk: Optional[int] = None):
+        """Full forward (network.py:542-622).
+
+        batch keys: rays (2,N,3), near/far (N,1), dst_Rs (B,3,3), dst_Ts
+        (B,3), cnl_gtfms (B,4,4), motion_weights_priors (B+1,G,G,G),
+        dst_posevec (69,), cnl_bbox_min_xyz/scale_xyz (3,), bgcolor (3,).
+
+        Returns (outputs dict, new_state dict).
+        """
+        iter_val = jnp.asarray(iter_val, jnp.float32)
+        dst_Rs = self._refine_pose(params, batch["dst_Rs"],
+                                   batch["dst_posevec"], iter_val)
+
+        non_rigid_input = jnp.where(
+            iter_val < self.cfg.nr_kick_in_iter,
+            jnp.zeros_like(batch["dst_posevec"]), batch["dst_posevec"])
+
+        motion_scale_Rs, motion_Ts = motion_basis(
+            dst_Rs, batch["dst_Ts"], batch["cnl_gtfms"])
+        motion_weights_vol = self.mweight_decoder.apply(
+            params["mweight_vol_decoder"],
+            batch["motion_weights_priors"][None])[0]
+
+        vertex_quant = (self._vertex_quantities(params, statics)
+                        if self.is_occnerf_mlp else None)
+
+        rays_o, rays_d = batch["rays"][0], batch["rays"][1]
+        near, far = batch["near"], batch["far"]
+        bgcolor = batch["bgcolor"]
+        N = rays_o.shape[0]
+        chunk = chunk or self.cfg.chunk
+
+        kwargs = dict(
+            iter_val=iter_val, non_rigid_input=non_rigid_input,
+            motion_scale_Rs=motion_scale_Rs, motion_Ts=motion_Ts,
+            motion_weights_vol=motion_weights_vol,
+            cnl_bbox_min_xyz=batch["cnl_bbox_min_xyz"],
+            cnl_bbox_scale_xyz=batch["cnl_bbox_scale_xyz"],
+            training=training, ignore_non_rigid=ignore_non_rigid,
+            perturb=perturb, vertex_quant=vertex_quant)
+
+        if N <= chunk:
+            out = self._render_chunk(params, statics, state, rays_o, rays_d,
+                                     near, far, bgcolor, rng=rng, **kwargs)
+        else:
+            assert N % chunk == 0, (
+                f"ray count {N} must be padded to a multiple of the chunk "
+                f"size {chunk}")
+            nb = N // chunk
+            keys = (jax.random.split(rng, nb) if rng is not None
+                    else jnp.zeros((nb, 2), jnp.uint32))
+
+            def body(args):
+                ro, rd, nr, fr, k = args
+                return self._render_chunk(params, statics, state, ro, rd,
+                                          nr, fr, bgcolor, rng=k, **kwargs)
+
+            mapped = jax.lax.map(body, (
+                rays_o.reshape(nb, chunk, 3), rays_d.reshape(nb, chunk, 3),
+                near.reshape(nb, chunk, 1), far.reshape(nb, chunk, 1),
+                keys))
+            out = jax.tree.map(
+                lambda x: x.reshape((-1,) + x.shape[2:]), mapped)
+
+        new_state = dict(state)
+        if "counter_inc" in out:
+            new_state["point_counter"] = state["point_counter"] \
+                + out.pop("counter_inc")
+        return out, new_state

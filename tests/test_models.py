@@ -1,0 +1,158 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from occnerf_tpu.models.embedders import (fourier_embed, fourier_out_dim,
+                                          hannw_fourier_embed)
+from occnerf_tpu.models.layers import rodrigues_device
+from occnerf_tpu.models.motion import motion_basis
+from occnerf_tpu.models.mweight import (DeconvVolumeDecoder,
+                                        SelfVolumeDecoder, conv_transpose3d)
+from occnerf_tpu.models.nonrigid import NonRigidMotionMLP
+from occnerf_tpu.models.pose_refiner import BodyPoseRefiner
+from occnerf_tpu.models.canonical import (OccNeRFCanonicalMLP,
+                                          VanillaCanonicalMLP)
+from occnerf_tpu.utils import body
+
+
+def test_fourier_embed_layout(rng):
+    x = jnp.asarray(rng.normal(size=(5, 3)).astype(np.float32))
+    out = fourier_embed(x, multires=10)
+    assert out.shape == (5, 63)
+    np.testing.assert_allclose(out[:, :3], x, atol=1e-6)
+    # first frequency band is sin(x*1), cos(x*1)
+    np.testing.assert_allclose(out[:, 3:6], np.sin(np.asarray(x)), atol=1e-6)
+    np.testing.assert_allclose(out[:, 6:9], np.cos(np.asarray(x)), atol=1e-6)
+
+
+def test_hannw_embed_window(rng):
+    x = jnp.asarray(rng.normal(size=(4, 3)).astype(np.float32))
+    # before kick-in: all-zero embedding (hannw_fourier.py:29-39)
+    out0 = hannw_fourier_embed(x, 6, iter_val=10.0, kick_in_iter=100,
+                               full_band_iter=200)
+    assert np.allclose(np.asarray(out0), 0.0)
+    # far past full-band: plain fourier without the raw-input block
+    out1 = hannw_fourier_embed(x, 6, iter_val=10_000.0, kick_in_iter=100,
+                               full_band_iter=200)
+    ref = fourier_embed(x, 6, include_input=False)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(ref), atol=1e-5)
+    assert out1.shape == (4, fourier_out_dim(6, 3, False))
+
+
+def test_rodrigues_device_matches_host(rng):
+    r = rng.normal(0, 0.5, (16, 3)).astype(np.float32)
+    R_dev = np.asarray(rodrigues_device(jnp.asarray(r)))
+    R_host = body.rodrigues(r)
+    np.testing.assert_allclose(R_dev, R_host, atol=2e-3)
+
+
+def test_conv_transpose3d_matches_torch(rng):
+    torch = pytest.importorskip("torch")
+    x = rng.normal(size=(1, 8, 4, 4, 4)).astype(np.float32)
+    w = rng.normal(size=(8, 6, 4, 4, 4)).astype(np.float32)
+    b = rng.normal(size=(6,)).astype(np.float32)
+    ours = np.asarray(conv_transpose3d(jnp.asarray(x), jnp.asarray(w),
+                                       jnp.asarray(b)))
+    m = torch.nn.ConvTranspose3d(8, 6, 4, 2, 1)
+    m.weight.data = torch.tensor(w)
+    m.bias.data = torch.tensor(b)
+    ref = m(torch.tensor(x)).detach().numpy()
+    assert ours.shape == ref.shape == (1, 6, 8, 8, 8)
+    np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+def test_deconv_volume_decoder(rng):
+    dec = DeconvVolumeDecoder(embedding_size=256, volume_size=32,
+                              total_bones=24)
+    params = dec.init(jax.random.PRNGKey(0))
+    # channel plan mirrors ConvDecoder3D: 1024->512->512->256->256->25
+    plan = [(c["w"].shape[0], c["w"].shape[1]) for c in params["convs"]]
+    assert plan == [(1024, 512), (512, 512), (512, 256), (256, 256),
+                    (256, 25)]
+    priors = jnp.asarray(np.abs(rng.normal(size=(1, 25, 32, 32, 32))
+                                ).astype(np.float32) + 0.01)
+    out = dec.apply(params, priors)
+    assert out.shape == (1, 25, 32, 32, 32)
+    np.testing.assert_allclose(np.asarray(out.sum(axis=1)), 1.0, atol=1e-5)
+
+
+def test_self_volume_decoder_prior_seeding(rng):
+    dec = SelfVolumeDecoder(volume_size=8, total_bones=24)
+    params = dec.init(jax.random.PRNGKey(0))
+    priors = np.abs(rng.normal(size=(25, 8, 8, 8))).astype(np.float32) + 0.01
+    priors /= priors.sum(0, keepdims=True)
+    # seeding matrix with log(prior) (reference train.py:29-31) must
+    # reproduce the prior exactly after softmax
+    params["matrix"] = jnp.log(jnp.asarray(priors))
+    out = dec.apply(params, jnp.asarray(priors)[None])
+    np.testing.assert_allclose(np.asarray(out[0]), priors, atol=1e-5)
+
+
+def test_pose_refiner_near_identity(rng):
+    ref = BodyPoseRefiner()
+    params = ref.init(jax.random.PRNGKey(1))
+    pose = jnp.asarray(rng.normal(size=(1, 69)).astype(np.float32))
+    Rs = np.asarray(ref.apply(params, pose)["Rs"])
+    assert Rs.shape == (1, 23, 3, 3)
+    np.testing.assert_allclose(Rs[0], np.broadcast_to(np.eye(3), (23, 3, 3)),
+                               atol=1e-3)
+
+
+def test_nonrigid_offsets_small_at_init(rng):
+    mlp = NonRigidMotionMLP(pos_embed_size=36)
+    params = mlp.init(jax.random.PRNGKey(2))
+    x = jnp.asarray(rng.normal(size=(10, 3)).astype(np.float32))
+    embed = jnp.asarray(rng.normal(size=(10, 36)).astype(np.float32))
+    cond = jnp.asarray(rng.normal(size=(10, 69)).astype(np.float32))
+    out = mlp.apply(params, embed, x, cond)
+    np.testing.assert_allclose(np.asarray(out["xyz"]), np.asarray(x),
+                               atol=1e-3)
+    # skip layer must accept concatenated width
+    assert params["layers"][4]["w"].shape[0] == 128 + 36
+
+
+def test_vanilla_canonical_mlp(rng):
+    mlp = VanillaCanonicalMLP(input_ch=63)
+    params = mlp.init(jax.random.PRNGKey(3))
+    x = jnp.asarray(rng.normal(size=(32, 63)).astype(np.float32))
+    out = mlp.apply(params, pos_embed=x)
+    assert out.shape == (32, 4)
+    # skip at linear #5 takes 256+63 inputs
+    assert params["layers"][5]["w"].shape[0] == 256 + 63
+
+
+def test_occnerf_canonical_mlp_shapes(rng):
+    mlp = OccNeRFCanonicalMLP(mlp_depth=4, mlp_width=64, bound=2.0,
+                              num_levels=4, level_dim=2,
+                              log2_hashmap_size=10)
+    params = mlp.init(jax.random.PRNGKey(4))
+    N, k, V = 20, 10, 50
+    out = mlp.apply(
+        params,
+        xyz=jnp.asarray(rng.normal(size=(N, 3)).astype(np.float32)),
+        knn_points=jnp.asarray(rng.normal(size=(N, k, 3)).astype(np.float32)),
+        point_norms=jnp.asarray(rng.normal(size=(N, k, 3)).astype(np.float32)),
+        knn_att=jnp.asarray(np.abs(rng.normal(size=(N, 4 * k, 1))
+                                   ).astype(np.float32) + 1),
+        surface_points=jnp.asarray(rng.normal(size=(V, 3)).astype(np.float32)),
+        point_sdf=jnp.asarray(rng.normal(size=(V, 1)).astype(np.float32)),
+        knn_idxs=jnp.asarray(rng.integers(0, V, (N, 4, k)).astype(np.int32)),
+        learnable_points=jnp.asarray(rng.normal(size=(V, 3)).astype(np.float32)),
+    )
+    assert out.shape == (N, 5)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_motion_basis_identity_at_canonical(rng):
+    joints = np.zeros((24, 3), dtype=np.float32)
+    for i in range(1, 24):
+        joints[i] = joints[body.SMPL_PARENT[i]] + rng.normal(0, 0.1, 3)
+    cnl = body.get_canonical_global_tfms(joints)
+    Rs, Ts = body.body_pose_to_body_RTs(np.zeros(72), joints)
+    sR, sT = motion_basis(jnp.asarray(Rs), jnp.asarray(Ts), jnp.asarray(cnl))
+    np.testing.assert_allclose(np.asarray(sR),
+                               np.broadcast_to(np.eye(3), (24, 3, 3)),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(sT), 0.0, atol=1e-4)

@@ -1,0 +1,159 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from occnerf_tpu.models.network import Network, NetworkConfig
+from occnerf_tpu.utils import body
+from occnerf_tpu.smpl import synthetic_smpl_model
+
+
+def _mini_network(canonical="core.nets.occnerf.canonical_mlps.occnerf_mlp"):
+    cfg = NetworkConfig(
+        n_samples=8, chunk=32, knn_backend="exact",
+        canonical_module=canonical,
+        cnl_mlp_depth=2, cnl_mlp_width=32,
+        cnl_num_levels=4, cnl_log2_hashmap_size=10,
+        cnl_base_resolution=4,
+        mweight_embedding_size=32, mweight_volume_size=8,
+        nr_mlp_width=16, nr_mlp_depth=3, nr_skips=(2,),
+        nr_kick_in_iter=10, nr_full_band_iter=100,
+        pose_mlp_width=32, pose_mlp_depth=2, pose_kick_in_iter=50)
+    return Network(cfg)
+
+
+@pytest.fixture()
+def setup(rng):
+    model = synthetic_smpl_model(n_verts=128, seed=2)
+    from occnerf_tpu.smpl.model import SMPL, save_model
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    save_model(model, os.path.join(
+        d, "basicModel_neutral_lbs_10_207_0_v1.0.0.pkl"))
+    smpl = SMPL(model_dir=d)
+    verts, joints = smpl(np.zeros(72), np.zeros(10))
+
+    net = _mini_network()
+    statics = net.generate_neural_points(verts, joints, smpl.faces)
+    params, state = net.init(jax.random.PRNGKey(0), statics)
+
+    n_rays = 16
+    lo = joints.min(0) - 0.3
+    hi = joints.max(0) + 0.3
+    priors = body.approx_gaussian_bone_volumes(joints, lo, hi, grid_size=8)
+    Rs, Ts = body.body_pose_to_body_RTs(
+        rng.normal(0, 0.1, 72).astype(np.float32), joints)
+    batch = {
+        "rays": jnp.asarray(np.stack([
+            rng.normal(0, 0.1, (n_rays, 3)) + [0, 0, -3.0],
+            np.tile([0, 0, 1.0], (n_rays, 1))
+            + rng.normal(0, 0.05, (n_rays, 3))]).astype(np.float32)),
+        "near": jnp.full((n_rays, 1), 2.0, jnp.float32),
+        "far": jnp.full((n_rays, 1), 4.0, jnp.float32),
+        "dst_Rs": jnp.asarray(Rs),
+        "dst_Ts": jnp.asarray(Ts),
+        "cnl_gtfms": jnp.asarray(body.get_canonical_global_tfms(joints)),
+        "motion_weights_priors": jnp.asarray(priors),
+        "dst_posevec": jnp.asarray(
+            rng.normal(0, 0.1, 69).astype(np.float32)),
+        "cnl_bbox_min_xyz": jnp.asarray(lo.astype(np.float32)),
+        "cnl_bbox_scale_xyz": jnp.asarray(
+            (2.0 / (hi - lo)).astype(np.float32)),
+        "bgcolor": jnp.asarray([255.0, 255.0, 255.0]),
+    }
+    return net, params, state, statics, batch
+
+
+def test_forward_train_shapes_and_state(setup):
+    net, params, state, statics, batch = setup
+    out, new_state = net.forward(params, statics, state, batch, 100.0,
+                                 training=True, perturb=1.0,
+                                 rng=jax.random.PRNGKey(1))
+    assert out["rgb"].shape == (16, 3)
+    assert out["alpha"].shape == (16,)
+    assert out["depth"].shape == (16,)
+    assert out["comp_loss"].shape == (16 * 8,)
+    assert np.isfinite(np.asarray(out["rgb"])).all()
+    # visibility counter either unchanged (gate) or incremented
+    diff = np.asarray(new_state["point_counter"] - state["point_counter"])
+    assert (diff >= 0).all()
+
+
+def test_forward_eval_no_state_change(setup):
+    net, params, state, statics, batch = setup
+    out, new_state = net.forward(params, statics, state, batch, 1e7,
+                                 training=False)
+    assert "comp_loss" not in out
+    np.testing.assert_array_equal(np.asarray(new_state["point_counter"]),
+                                  np.asarray(state["point_counter"]))
+
+
+def test_forward_chunked_matches_single(setup):
+    net, params, state, statics, batch = setup
+    out1, _ = net.forward(params, statics, state, batch, 1e7,
+                          training=False, chunk=64)
+    out2, _ = net.forward(params, statics, state, batch, 1e7,
+                          training=False, chunk=8)  # 2 chunks of 8
+    np.testing.assert_allclose(np.asarray(out1["rgb"]),
+                               np.asarray(out2["rgb"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out1["depth"]),
+                               np.asarray(out2["depth"]), atol=1e-5)
+
+
+def test_gradients_flow(setup):
+    net, params, state, statics, batch = setup
+
+    def loss(p):
+        out, _ = net.forward(p, statics, state, batch, 100.0,
+                             training=True, perturb=0.0)
+        return jnp.mean(out["rgb"]) + jnp.mean(out["comp_loss"])
+
+    g = jax.grad(loss)(params)
+    flat = jax.tree.leaves(jax.tree.map(
+        lambda x: jnp.isfinite(x).all(), g))
+    assert all(bool(x) for x in flat)
+    # the learnable per-point offset must receive gradient via the sdf path
+    assert float(jnp.abs(g["point_dist"]).sum()) > 0
+    # hash table must receive gradient
+    assert float(jnp.abs(g["cnl_mlp"]["encoder"]).sum()) > 0
+
+
+def test_pose_refiner_gating(setup):
+    net, params, state, statics, batch = setup
+    # make the refiner output large so gating is observable
+    params = jax.tree.map(lambda x: x, params)
+    params["pose_decoder"]["layers"][-1]["w"] = \
+        params["pose_decoder"]["layers"][-1]["w"] + 0.5
+    out_before, _ = net.forward(params, statics, state, batch, 10.0,
+                                training=False)  # iter < kick_in 50
+    out_after, _ = net.forward(params, statics, state, batch, 100.0,
+                               training=False)
+    assert not np.allclose(np.asarray(out_before["rgb"]),
+                           np.asarray(out_after["rgb"]), atol=1e-5)
+
+
+def test_vanilla_canonical_path(setup, rng):
+    net_v = _mini_network("core.nets.occnerf.canonical_mlps.mlp_rgb_sigma")
+    _, _, state, statics_o, batch = setup
+    statics = net_v.generate_neural_points(
+        np.asarray(statics_o["point_base"]),
+        np.asarray(statics_o["point_base"][:24]),
+        np.zeros((4, 3), np.int32))
+    params, state = net_v.init(jax.random.PRNGKey(0), statics)
+    out, _ = net_v.forward(params, statics, state, batch, 100.0,
+                           training=True, perturb=0.0)
+    assert out["rgb"].shape == (16, 3)
+    assert np.isfinite(np.asarray(out["rgb"])).all()
+
+
+def test_jit_forward(setup):
+    net, params, state, statics, batch = setup
+
+    @jax.jit
+    def fwd(p, s, b):
+        return net.forward(p, statics, s, b, 100.0, training=True,
+                           perturb=0.0)
+
+    out, new_state = fwd(params, state, batch)
+    assert np.isfinite(np.asarray(out["rgb"])).all()

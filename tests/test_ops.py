@@ -1,0 +1,319 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from occnerf_tpu.ops import (HashGridSpec, hash_grid_encode, knn,
+                             multiscale_knn, raw2outputs, sample_zvals,
+                             stratify_zvals, grid_sample_3d,
+                             sample_motion_fields, sh_encode)
+
+
+# ---------------------------------------------------------------------------
+# trilinear grid sampling vs torch grid_sample oracle
+# ---------------------------------------------------------------------------
+
+def test_grid_sample_matches_torch(rng):
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    vol = rng.normal(size=(9, 7, 5)).astype(np.float32)   # (D, H, W)
+    coords = rng.uniform(-1.3, 1.3, size=(400, 3)).astype(np.float32)  # xyz
+
+    ours = np.asarray(grid_sample_3d(jnp.asarray(vol), jnp.asarray(coords)))
+
+    t_out = F.grid_sample(
+        torch.tensor(vol)[None, None],
+        torch.tensor(coords)[None, None, None],
+        padding_mode="zeros", align_corners=True)[0, 0, 0, 0].numpy()
+
+    np.testing.assert_allclose(ours, t_out, atol=1e-5)
+
+
+def test_sample_motion_fields_matches_loop_oracle(rng):
+    """Cross-check the fused sampler against a per-bone torch loop that
+    mirrors the reference `_sample_motion_fields` (network.py:351-402)."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    B, G, N = 5, 8, 64
+    Rs = rng.normal(size=(B, 3, 3)).astype(np.float32)
+    Ts = rng.normal(size=(B, 3)).astype(np.float32)
+    vol = np.abs(rng.normal(size=(B + 1, G, G, G))).astype(np.float32)
+    pts = rng.normal(size=(N, 3)).astype(np.float32)
+    mn = np.array([-1.5, -1.5, -1.5], np.float32)
+    scale = np.array([0.7, 0.8, 0.9], np.float32)
+
+    x_skel, fg = sample_motion_fields(
+        jnp.asarray(pts), jnp.asarray(Rs), jnp.asarray(Ts), jnp.asarray(vol),
+        jnp.asarray(mn), jnp.asarray(scale))
+
+    # oracle: reference-style loop
+    tp = torch.tensor(pts)
+    weights_list, pos_list = [], []
+    for i in range(B):
+        pos = torch.tensor(Rs[i]) @ tp.T
+        pos = pos.T + torch.tensor(Ts[i])
+        grid = (pos - torch.tensor(mn)) * torch.tensor(scale) - 1.0
+        w = F.grid_sample(torch.tensor(vol[i])[None, None],
+                          grid[None, None, None],
+                          padding_mode="zeros", align_corners=True)
+        weights_list.append(w[0, 0, 0, 0][:, None])
+        pos_list.append(pos)
+    w = torch.cat(weights_list, dim=-1)             # (N, B)
+    wsum = w.sum(-1, keepdim=True)
+    x_ref = sum(w[:, i:i + 1] * pos_list[i] for i in range(B)) \
+        / wsum.clamp(min=1e-4)
+
+    np.testing.assert_allclose(np.asarray(x_skel), x_ref.numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(fg), wsum.numpy(), atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# knn vs numpy oracle (compare distances, not indices — tie order may differ)
+# ---------------------------------------------------------------------------
+
+def test_knn_exact_matches_numpy(rng):
+    q = rng.normal(size=(300, 3)).astype(np.float32)
+    p = rng.normal(size=(750, 3)).astype(np.float32)
+    d, idx = knn(jnp.asarray(q), jnp.asarray(p), k=10, backend="exact",
+                 block=128)
+    ref = np.sort(np.linalg.norm(q[:, None] - p[None], axis=-1), axis=-1)[:, :10]
+    np.testing.assert_allclose(np.asarray(d), ref, atol=1e-4)
+    # indices consistent with distances
+    gathered = np.linalg.norm(q[:, None] - p[np.asarray(idx)], axis=-1)
+    np.testing.assert_allclose(np.sort(gathered, -1), ref, atol=1e-4)
+
+
+def test_knn_approx_recall(rng):
+    q = rng.normal(size=(256, 3)).astype(np.float32)
+    p = rng.normal(size=(2048, 3)).astype(np.float32)
+    _, idx_a = knn(jnp.asarray(q), jnp.asarray(p), k=10, backend="approx")
+    _, idx_e = knn(jnp.asarray(q), jnp.asarray(p), k=10, backend="exact")
+    recall = np.mean([
+        len(set(np.asarray(idx_a)[i]) & set(np.asarray(idx_e)[i])) / 10
+        for i in range(256)])
+    assert recall > 0.9
+
+
+def test_multiscale_knn_indices_point_into_base(rng):
+    q = rng.normal(size=(100, 3)).astype(np.float32)
+    base = rng.normal(size=(500, 3)).astype(np.float32)
+    fps = [np.arange(0, 500, 4), np.arange(0, 500, 16)]
+    idx = multiscale_knn(jnp.asarray(q), jnp.asarray(base),
+                         [jnp.asarray(f) for f in fps], k=5)
+    assert idx.shape == (100, 3, 5)
+    # level 1 indices must come from the fps subset
+    assert np.all(np.isin(np.asarray(idx[:, 1]), fps[0]))
+    assert np.all(np.isin(np.asarray(idx[:, 2]), fps[1]))
+    # level 0 = plain knn into base
+    ref = np.argsort(np.linalg.norm(q[:, None] - base[None], axis=-1), -1)[:, :5]
+    d_ours = np.linalg.norm(q[:, None] - base[np.asarray(idx[:, 0])], axis=-1)
+    d_ref = np.linalg.norm(q[:, None] - base[ref], axis=-1)
+    np.testing.assert_allclose(np.sort(d_ours, -1), np.sort(d_ref, -1), atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# hash grid
+# ---------------------------------------------------------------------------
+
+def _small_spec():
+    return HashGridSpec.create(input_dim=3, num_levels=4, level_dim=2,
+                               base_resolution=4, log2_hashmap_size=7,
+                               desired_resolution=32)
+
+
+def _numpy_hashgrid_oracle(x, table, spec):
+    """Independent scalar transliteration of the CUDA algorithm
+    (gridencoder.cu:50-200) for cross-checking."""
+    primes = np.array([1, 2654435761, 805459861, 3674653429], dtype=np.uint64)
+    D, L, C = spec.input_dim, spec.num_levels, spec.level_dim
+    N = x.shape[0]
+    out = np.zeros((N, L * C), np.float32)
+    for n in range(N):
+        if np.any((x[n] < 0) | (x[n] > 1)):
+            continue
+        for lvl in range(L):
+            scale = spec.scales[lvl]
+            res = spec.resolutions[lvl]
+            hsize = spec.offsets[lvl + 1] - spec.offsets[lvl]
+            pos = x[n] * scale + 0.5
+            pg = np.floor(pos).astype(np.uint64)
+            fr = pos - pg
+            acc = np.zeros(C, np.float64)
+            for ci in range(1 << D):
+                w = 1.0
+                pl = pg.copy()
+                for d in range(D):
+                    if ci & (1 << d):
+                        w *= fr[d]
+                        pl[d] += 1
+                    else:
+                        w *= 1 - fr[d]
+                # index
+                stride, index = 1, 0
+                for d in range(D):
+                    if stride <= hsize:
+                        index += int(pl[d]) * stride
+                        stride *= res + 1
+                if stride > hsize:  # hash
+                    h = np.uint64(0)
+                    for d in range(D):
+                        h ^= np.uint64(pl[d] * primes[d]) & np.uint64(0xFFFFFFFF)
+                    index = int(h & np.uint64(0xFFFFFFFF))
+                index = index % hsize + spec.offsets[lvl]
+                acc += w * table[index]
+            out[n, lvl * C:(lvl + 1) * C] = acc
+    return out
+
+
+def test_hashgrid_spec_matches_reference_layout():
+    # the production spec used by occnerf_mlp (occnerf_mlp.py:45), bound=1
+    spec = HashGridSpec.create(input_dim=4, num_levels=16, level_dim=2,
+                               base_resolution=16, log2_hashmap_size=19,
+                               desired_resolution=2048)
+    assert spec.num_levels == 16
+    # level 0: res 16 -> 17^4 = 83521 -> ceil/8*8 = 83528
+    assert spec.offsets[1] - spec.offsets[0] == 83528
+    # finest level capped at 2^19
+    assert spec.offsets[-1] - spec.offsets[-2] == 2 ** 19
+    assert spec.resolutions[0] == 16
+    assert abs(spec.resolutions[-1] - 2048) <= 1
+    assert not spec.use_hash[0] and spec.use_hash[-1]
+
+
+def test_hashgrid_matches_numpy_oracle(rng):
+    spec = _small_spec()
+    table = rng.normal(0, 0.1, (spec.table_size, spec.level_dim)
+                       ).astype(np.float32)
+    x = rng.uniform(0, 1, (50, 3)).astype(np.float32)
+    x[:3] = [[0, 0, 0], [1, 1, 1], [0.5, 0.25, 0.75]]
+    x[3] = [1.2, 0.5, 0.5]  # oob -> zeros
+    ours = np.asarray(hash_grid_encode(jnp.asarray(x), jnp.asarray(table), spec))
+    ref = _numpy_hashgrid_oracle(x, table, spec)
+    np.testing.assert_allclose(ours, ref, atol=1e-4)
+    assert np.all(ours[3] == 0.0)
+
+
+def test_hashgrid_4d_production_spec_runs(rng):
+    spec = HashGridSpec.create(input_dim=4, num_levels=16, level_dim=2,
+                               base_resolution=16, log2_hashmap_size=19,
+                               desired_resolution=512)
+    table = spec.init_table(jax.random.PRNGKey(0))
+    x = rng.uniform(0, 1, (128, 4)).astype(np.float32)
+    out = hash_grid_encode(jnp.asarray(x), table, spec)
+    assert out.shape == (128, 32)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_hashgrid_gradients(rng):
+    spec = _small_spec()
+    table = jnp.asarray(rng.normal(0, 0.1, (spec.table_size, spec.level_dim)
+                                   ).astype(np.float32))
+    x = jnp.asarray(rng.uniform(0.1, 0.9, (8, 3)).astype(np.float32))
+
+    def loss_t(t):
+        return jnp.sum(hash_grid_encode(x, t, spec) ** 2)
+
+    def loss_x(xx):
+        return jnp.sum(hash_grid_encode(xx, table, spec) ** 2)
+
+    # table gradient: directional finite difference
+    g_t = jax.grad(loss_t)(table)
+    v = jnp.asarray(rng.normal(size=table.shape).astype(np.float32))
+    eps = 1e-3
+    fd = (loss_t(table + eps * v) - loss_t(table - eps * v)) / (2 * eps)
+    np.testing.assert_allclose(float(jnp.vdot(g_t, v)), float(fd), rtol=2e-2)
+
+    # input gradient (replaces CUDA dy_dx): finite difference.  The encode
+    # is piecewise-linear in the inputs, so keep eps small enough that the
+    # probe does not straddle an interpolation-cell boundary, and use x64
+    # to keep FD noise below the signal.
+    with jax.enable_x64():
+        x64 = x.astype(jnp.float64)
+        t64 = table.astype(jnp.float64)
+
+        def loss_x64(xx):
+            return jnp.sum(hash_grid_encode(xx, t64, spec) ** 2)
+
+        g_x = jax.grad(loss_x64)(x64)
+        vx = jnp.asarray(rng.normal(size=x.shape))
+        eps2 = 1e-7
+        fdx = (loss_x64(x64 + eps2 * vx) - loss_x64(x64 - eps2 * vx)) / (2 * eps2)
+        np.testing.assert_allclose(float(jnp.vdot(g_x, vx)), float(fdx),
+                                   rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# raymarch
+# ---------------------------------------------------------------------------
+
+def test_raw2outputs_matches_numpy_oracle(rng):
+    N, S = 32, 16
+    raw = rng.normal(size=(N, S, 4)).astype(np.float32)
+    mask = (rng.uniform(size=(N, S, 1)) > 0.3).astype(np.float32)
+    z = np.sort(rng.uniform(1, 3, (N, S)).astype(np.float32), axis=-1)
+    d = rng.normal(size=(N, 3)).astype(np.float32)
+    bg = np.array([255.0, 128.0, 0.0], np.float32)
+
+    out = raw2outputs(jnp.asarray(raw), jnp.asarray(mask), jnp.asarray(z),
+                      jnp.asarray(d), jnp.asarray(bg))
+
+    # independent loop oracle
+    def softplus(x):
+        return np.log1p(np.exp(-np.abs(x))) + np.maximum(x, 0)
+
+    dists = np.concatenate([z[:, 1:] - z[:, :-1],
+                            np.full((N, 1), 1e10, np.float32)], -1)
+    dists = dists * np.linalg.norm(d, axis=-1, keepdims=True)
+    sig = 1 / (1 + np.exp(-raw[..., :3]))
+    alpha = (1 - np.exp(-softplus(raw[..., 3]) * dists)) * mask[..., 0]
+    rgb_ref = np.zeros((N, 3))
+    depth_ref = np.zeros(N)
+    acc_ref = np.zeros(N)
+    for n in range(N):
+        T = 1.0
+        for s in range(S):
+            w = alpha[n, s] * T
+            rgb_ref[n] += w * sig[n, s]
+            depth_ref[n] += w * z[n, s]
+            acc_ref[n] += w
+            T *= 1 - alpha[n, s] + 1e-10
+    rgb_ref += (1 - acc_ref[:, None]) * bg / 255.0
+
+    np.testing.assert_allclose(np.asarray(out.rgb), rgb_ref, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.depth), depth_ref, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.acc), acc_ref, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out.term_idx),
+                                  np.argmax(alpha, axis=1))
+
+
+def test_zval_sampling():
+    near = jnp.full((8, 1), 2.0)
+    far = jnp.full((8, 1), 4.0)
+    z = sample_zvals(near, far, 16)
+    assert z.shape == (8, 16)
+    np.testing.assert_allclose(np.asarray(z[:, 0]), 2.0)
+    np.testing.assert_allclose(np.asarray(z[:, -1]), 4.0)
+    zs = stratify_zvals(jax.random.PRNGKey(0), z)
+    assert np.all(np.asarray(zs) >= 2.0 - 1e-5)
+    assert np.all(np.asarray(zs) <= 4.0 + 1e-5)
+    assert np.all(np.diff(np.asarray(zs), axis=-1) > -0.3)
+
+
+# ---------------------------------------------------------------------------
+# spherical harmonics
+# ---------------------------------------------------------------------------
+
+def test_sh_encode_sum_rule(rng):
+    """sum_m Y_lm(d)^2 == (2l+1)/(4pi) for real SH at any direction."""
+    d = rng.normal(size=(64, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    out = np.asarray(sh_encode(jnp.asarray(d), degree=4))
+    assert out.shape == (64, 16)
+    groups = [(0, 1), (1, 4), (4, 9), (9, 16)]
+    for l, (a, b) in enumerate(groups):
+        expect = (2 * l + 1) / (4 * np.pi)
+        np.testing.assert_allclose((out[:, a:b] ** 2).sum(-1), expect,
+                                   rtol=1e-5)
