@@ -110,18 +110,42 @@ def get_default_cfg() -> CfgNode:
     ))
 
     # ---- per-split loader blocks -------------------------------------------
+    # dataset_module / dataset usually come from the per-subject yaml
+    # (`configs/occnerf/zju_mocap/387/occnerf.yaml:40-59`); the defaults
+    # point at the train pipeline with the synthetic subject.
+    c.train.dataset_module = "core.data.occnerf.train"
+    c.train.dataset = "synthetic_train"
     c.progress = CfgNode(dict(batch_size=1, shuffle=False, drop_last=False,
-                              dump_interval=500))
-    c.movement = CfgNode(dict(batch_size=1, shuffle=False, drop_last=False))
+                              dump_interval=500,
+                              dataset_module="core.data.occnerf.train",
+                              dataset="synthetic_test"))
+    c.movement = CfgNode(dict(batch_size=1, shuffle=False, drop_last=False,
+                              dataset_module="core.data.occnerf.train",
+                              dataset="synthetic_test"))
     c.freeview = CfgNode(dict(batch_size=1, shuffle=False, drop_last=False,
-                              frame_idx=0))
+                              frame_idx=0,
+                              dataset_module="core.data.occnerf.freeview",
+                              dataset="synthetic_test"))
     c.backview = CfgNode(dict(batch_size=1, shuffle=False, drop_last=False,
-                              frame_idx=0))
+                              frame_idx=0,
+                              dataset_module="core.data.occnerf.backview",
+                              dataset="synthetic_test"))
     c.allview = CfgNode(dict(batch_size=1, shuffle=False, drop_last=False,
-                             frame_idx=0))
-    c.tpose = CfgNode(dict(batch_size=1, shuffle=False, drop_last=False))
+                             frame_idx=0,
+                             dataset_module="core.data.occnerf.allview",
+                             dataset="synthetic_test"))
+    c.tpose = CfgNode(dict(batch_size=1, shuffle=False, drop_last=False,
+                           dataset_module="core.data.occnerf.tpose",
+                           dataset="synthetic_test"))
 
     # ---- misc ---------------------------------------------------------------
+    c.task = "task"
+    c.subject = "subject"
+    c.experiment = "experiment"
+    c.bgcolor = [255.0, 255.0, 255.0]
+    c.occlude = False
+    c.include_img = False
+    c.smpl_model_dir = "third_parties/smpl/models"
     c.sex = "neutral"
     c.total_bones = 24
     c.bbox_offset = 0.3

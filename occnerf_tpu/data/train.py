@@ -1,0 +1,214 @@
+"""Training / movement dataset (host-side numpy pipeline).
+
+Behavioral equivalent of the reference train dataset
+(`core/data/occnerf/train.py`) with TPU-static output shapes (see
+:mod:`occnerf_tpu.data.rays`).  Per item: synthetic-occlusion masking,
+undistortion, background compositing, optional crop/resize, ray
+generation + bbox clipping, and patch or image ray packing, plus the
+motion-basis / canonical-bbox / posevec metadata blocks driven by
+``keyfilter``.
+
+Differences from the reference, by design:
+
+- static ray counts (patch: exactly ``N_patches*P*P``; image: padded to a
+  bucket) with a ``ray_valid`` mask instead of variable-length selection;
+- the per-frame SMPL forward (reference `train.py:381`, whose ``verts``
+  output feeds nothing downstream in the active path) runs only when
+  ``'verts'`` is requested via keyfilter;
+- RNG is an explicit ``np.random.Generator`` (seedable), not global state.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+import cv2
+
+from ..config import cfg
+from ..utils.body import body_pose_to_body_RTs, get_canonical_global_tfms
+from ..utils.camera import _exact_rodrigues, apply_global_tfm_to_camera
+from ..utils.image import load_image
+from .rays import build_rays, pack_image_rays, sample_patch_rays
+from .subject import SubjectData
+
+
+class Dataset:
+    def __init__(self, dataset_path: str,
+                 keyfilter: Optional[List[str]] = None,
+                 maxframes: int = -1,
+                 bgcolor=None,
+                 ray_shoot_mode: str = "image",
+                 skip: int = 1,
+                 occlude: Optional[bool] = None,
+                 seed: Optional[int] = None,
+                 **_):
+        print("[Dataset Path]", dataset_path)
+        self.subject = SubjectData(dataset_path)
+        self.keyfilter = list(keyfilter or [])
+        self.bgcolor = bgcolor
+        self.ray_shoot_mode = ray_shoot_mode
+        self.occlude = (cfg.get("occlude", False) is True
+                        if occlude is None else occlude)
+        self.rng = np.random.default_rng(seed)
+
+        framelist = self.subject.frame_list()
+        self.framelist = framelist[::skip]
+        if maxframes > 0:
+            self.framelist = self.framelist[:maxframes]
+        print(f" -- Total Frames: {len(self.framelist)}")
+
+        self._smpl = None  # lazy; only needed when 'verts' requested
+
+    # ------------------------------------------------------------------
+    def __len__(self) -> int:
+        return len(self.framelist)
+
+    def _load_image(self, frame_name: str, bgcolor: np.ndarray, idx: int):
+        """Image + mask with occlusion, undistort, bg blend, crop, resize
+        (reference `train.py:275-316`)."""
+        img = np.array(load_image(
+            os.path.join(self.subject.image_dir, f"{frame_name}.png")),
+            dtype=np.float64)
+        alpha = np.array(load_image(
+            os.path.join(self.subject.mask_dir, f"{frame_name}.png")),
+            dtype=np.float64)
+
+        occ = cfg.occlusion
+        if self.occlude and idx < occ.range:
+            lo = occ.mid - occ.width // 2
+            hi = occ.mid + occ.width // 2
+            alpha[:, lo:hi] = 0.0
+
+        cam = self.subject.cameras.get(frame_name, {})
+        if "distortions" in cam:
+            K = cam["intrinsics"]
+            D = cam["distortions"]
+            img = cv2.undistort(img, K, D)
+            alpha = cv2.undistort(alpha, K, D)
+
+        alpha = alpha / 255.0
+        img = alpha * img + (1.0 - alpha) * bgcolor[None, None, :]
+        o_shape = img.shape
+
+        crop = cfg.get("crop_image_scale", [-1, -1])
+        if crop[0] != -1:
+            mx, my = img.shape[0] // 2, img.shape[1] // 2
+            dx, dy = crop
+            sl = np.s_[mx - dx // 2: mx + (dx - dx // 2),
+                       my - dy // 2: my + (dy - dy // 2)]
+            img, alpha = img[sl], alpha[sl]
+
+        if cfg.resize_img_scale != 1.0:
+            img = cv2.resize(img, None, fx=cfg.resize_img_scale,
+                             fy=cfg.resize_img_scale,
+                             interpolation=cv2.INTER_LANCZOS4)
+            alpha = cv2.resize(alpha, None, fx=cfg.resize_img_scale,
+                               fy=cfg.resize_img_scale,
+                               interpolation=cv2.INTER_LINEAR)
+        return img, alpha, o_shape
+
+    def _camera_K_E(self, frame_name: str, skel: Dict, o_shape):
+        """Intrinsics (crop/scale-adjusted) + extrinsics with the SMPL
+        global transform folded in (`train.py:416-437`)."""
+        K = self.subject.cameras[frame_name]["intrinsics"][:3, :3].copy()
+        crop = cfg.get("crop_image_scale", [-1, -1])
+        if crop[0] != -1:
+            K[0, 2] = crop[0] / 2
+            K[1, 2] = crop[1] / 2
+        K[:2] *= cfg.resize_img_scale
+        E = apply_global_tfm_to_camera(
+            self.subject.cameras[frame_name]["extrinsics"],
+            skel["Rh"], skel["Th"])
+        return K, E
+
+    def _metadata(self, skel: Dict) -> Dict[str, np.ndarray]:
+        """keyfilter-driven metadata blocks (`train.py:495-535`)."""
+        out: Dict[str, np.ndarray] = {}
+        if "motion_bases" in self.keyfilter:
+            dst_Rs, dst_Ts = body_pose_to_body_RTs(
+                skel["poses"], skel["dst_tpose_joints"])
+            out["dst_Rs"] = dst_Rs
+            out["dst_Ts"] = dst_Ts
+            out["cnl_gtfms"] = get_canonical_global_tfms(
+                self.subject.canonical_joints)
+        if "motion_weights_priors" in self.keyfilter:
+            out["motion_weights_priors"] = \
+                self.subject.motion_weights_priors.copy()
+        if "cnl_bbox" in self.keyfilter:
+            out.update(self.subject.cnl_bbox_arrays())
+        if "dst_posevec_69" in self.keyfilter:
+            # drop global orientation; +1e-2 avoids the all-zeros posevec
+            # (`train.py:529-535`)
+            out["dst_posevec"] = (skel["poses"][3:] + 1e-2).astype(np.float32)
+        return out
+
+    # ------------------------------------------------------------------
+    def __getitem__(self, idx: int) -> Dict:
+        frame_name = self.framelist[idx]
+        results: Dict = {
+            "frame_name": frame_name,
+            "idx": int(frame_name[-6:]) if frame_name[-6:].isdigit() else idx,
+            "time": idx / max(1, len(self.framelist)),
+        }
+
+        skel = self.subject.skeleton(frame_name)
+
+        if self.bgcolor is None:
+            bgcolor = (self.rng.random(3) * 255.0).astype(np.float32)
+        else:
+            bgcolor = np.array(self.bgcolor, dtype=np.float32)
+
+        img, alpha, o_shape = self._load_image(frame_name, bgcolor, idx)
+        if np.sum(alpha) < 1:  # occluded-away frame: resample another
+            return self[int(self.rng.integers(0, len(self)))]
+
+        img = (img / 255.0).astype(np.float32)
+        H, W = img.shape[:2]
+
+        results.update({
+            "poses": skel["poses"],
+            "betas": skel["betas"],
+            "Rh": _exact_rodrigues(skel["Rh"]),
+            "Th": skel["Th"],
+            "joints": skel["joints"],
+        })
+
+        if "verts" in self.keyfilter:
+            if self._smpl is None:
+                from ..smpl.model import SMPL
+                self._smpl = SMPL(sex=cfg.get("sex", "neutral"),
+                                  model_dir=cfg.get("smpl_model_dir",
+                                                    "third_parties/smpl/models"))
+            verts, _ = self._smpl(skel["poses"], skel["betas"],
+                                  trans=skel.get("trans"))
+            results["verts"] = verts
+
+        K, E = self._camera_K_E(frame_name, skel, o_shape)
+        ray_data = build_rays(H, W, K, E, skel["bbox"])
+
+        if "rays" in self.keyfilter:
+            results.update({"img_width": W, "img_height": H,
+                            "bgcolor": bgcolor})
+            if self.ray_shoot_mode == "patch":
+                patch = sample_patch_rays(
+                    ray_data, img, subject_mask=alpha[:, :, 0] > 0.0,
+                    n_patches=cfg.patch.N_patches,
+                    patch_size=cfg.patch.size,
+                    sample_subject_ratio=cfg.patch.sample_subject_ratio,
+                    rng=self.rng)
+                results.update(patch)
+            elif self.ray_shoot_mode == "image":
+                packed = pack_image_rays(
+                    ray_data, img, alpha,
+                    bucket=cfg.get("tpu", {}).get("eval_ray_bucket", 8192))
+                if "target_rgbs" not in self.keyfilter:
+                    packed.pop("target_rgbs")
+                results.update(packed)
+            else:
+                raise ValueError(
+                    f"Invalid ray shoot mode: {self.ray_shoot_mode}")
+
+        results.update(self._metadata(skel))
+        return results
