@@ -1,0 +1,130 @@
+"""LPIPS perceptual distance (VGG16 backbone) in pure JAX.
+
+Behavioral equivalent of the reference's vendored LPIPS
+(`third_parties/lpips/lpips.py:81-108`): input scaling layer, VGG16
+features at relu{1_2,2_2,3_3,4_3,5_3}, channel-unit-normalization, squared
+difference, learned non-negative 1x1 linear heads, spatial average, sum
+over the five layers.  Inputs are NHWC in [-1, 1].
+
+Weights: the reference ships only the 1x1 linear heads
+(`third_parties/lpips/weights/v0.1/vgg.pth`); the VGG16 backbone comes
+from torchvision's pretrained download.  This environment has no network
+egress and no torchvision, so:
+
+- :func:`load_weights` loads a converted ``.npz`` produced offline by
+  ``tools/convert_lpips_weights.py`` (torch state-dicts -> jax arrays);
+- :func:`init_random` provides a fixed-seed random backbone as a stand-in
+  so the loss *pipeline* is exercisable end-to-end (random VGG features
+  still yield a usable perceptual-ish loss; documented degradation).
+
+The conv stack runs in NHWC with 3x3 SAME convs and 2x2 max-pools —
+XLA maps these straight onto the MXU.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+# torchvision vgg16 feature channels per conv layer, '' marks max-pools;
+# LPIPS taps the activations right before each pool and at the end.
+_VGG_CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+            512, 512, 512, "M", 512, 512, 512]
+_TAP_CHANNELS = [64, 128, 256, 512, 512]
+
+# LPIPS input scaling layer constants (lpips.py ScalingLayer)
+_SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
+_SCALE = np.array([0.458, 0.448, 0.450], np.float32)
+
+
+def _conv_layers() -> List[int]:
+    return [c for c in _VGG_CFG if c != "M"]
+
+
+class LPIPS:
+    """Pure-function LPIPS model: ``params`` pytree + ``apply``."""
+
+    def __init__(self):
+        self.n_convs = len(_conv_layers())
+
+    # ------------------------------------------------------------------
+    def init_random(self, key: jax.Array) -> Dict[str, jnp.ndarray]:
+        """He-init random backbone + uniform linear heads (fallback when no
+        converted pretrained weights are available)."""
+        rng = np.random.default_rng(
+            int(jax.random.randint(key, (), 0, 2**31 - 1)))
+        params: Dict[str, jnp.ndarray] = {}
+        c_in = 3
+        for i, c_out in enumerate(_conv_layers()):
+            fan_in = 3 * 3 * c_in
+            params[f"conv{i}_w"] = jnp.asarray(
+                rng.normal(0, np.sqrt(2.0 / fan_in),
+                           (3, 3, c_in, c_out)).astype(np.float32))
+            params[f"conv{i}_b"] = jnp.zeros((c_out,), jnp.float32)
+            c_in = c_out
+        for k, ch in enumerate(_TAP_CHANNELS):
+            params[f"lin{k}"] = jnp.full((ch,), 1.0 / ch, jnp.float32)
+        return params
+
+    @staticmethod
+    def load_weights(path: str) -> Dict[str, jnp.ndarray]:
+        """Load a converted ``.npz`` (see tools/convert_lpips_weights.py)."""
+        data = np.load(path)
+        return {k: jnp.asarray(data[k]) for k in data.files}
+
+    @staticmethod
+    def has_pretrained(path: str = "third_parties/lpips/lpips_vgg.npz"
+                       ) -> bool:
+        return os.path.exists(path)
+
+    # ------------------------------------------------------------------
+    def features(self, params, x: jnp.ndarray) -> List[jnp.ndarray]:
+        """VGG16 tap activations for NHWC input in [-1, 1]."""
+        h = (x - _SHIFT) / _SCALE
+        taps = []
+        ci = 0
+        for c in _VGG_CFG:
+            if c == "M":
+                taps.append(h)
+                h = jax.lax.reduce_window(
+                    h, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1),
+                    "VALID")
+            else:
+                h = jax.lax.conv_general_dilated(
+                    h, params[f"conv{ci}_w"], (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.float32)
+                h = jax.nn.relu(h + params[f"conv{ci}_b"])
+                ci += 1
+        taps.append(h)  # relu5_3
+        return taps
+
+    def apply(self, params, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+        """LPIPS distance per batch element.
+
+        Args:
+            x, y: (N, H, W, 3) in [-1, 1].
+        Returns:
+            (N,) distances.
+        """
+        fx = self.features(params, x)
+        fy = self.features(params, y)
+        total = 0.0
+        for k, (a, b) in enumerate(zip(fx, fy)):
+            a = a / jnp.sqrt(
+                jnp.sum(a * a, axis=-1, keepdims=True) + 1e-10)
+            b = b / jnp.sqrt(
+                jnp.sum(b * b, axis=-1, keepdims=True) + 1e-10)
+            d = (a - b) ** 2                                   # (N,H,W,C)
+            w = jax.nn.relu(params[f"lin{k}"])                  # non-negative
+            total = total + jnp.mean(jnp.sum(d * w, axis=-1), axis=(1, 2))
+        return total
+
+
+def scale_for_lpips(img: jnp.ndarray) -> jnp.ndarray:
+    """[0, 1] -> [-1, 1] (reference `trainer.py:45-46`)."""
+    return img * 2.0 - 1.0

@@ -1,0 +1,12 @@
+"""PSNR metric — behavioral equivalent of reference `eval.py:76-87`."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def psnr_metric(img_pred: np.ndarray, img_gt: np.ndarray) -> float:
+    """PSNR over [0, 1]-ranged images: ``-10 log10(mse)``."""
+    mse = np.mean((np.asarray(img_pred, np.float64)
+                   - np.asarray(img_gt, np.float64)) ** 2)
+    return float(-10.0 * np.log(mse) / np.log(10.0))

@@ -46,14 +46,13 @@ def _init_convt(key: jax.Array, n_in: int, n_out: int, gain: float,
     ksize = k ** 3 // s ** 3
     std = gain * math.sqrt(2.0 / ((n_in + n_out) * ksize))
     bound = std * math.sqrt(3.0)
-    w = jax.random.uniform(key, (n_in, n_out, k, k, k),
-                           minval=-bound, maxval=bound, dtype=jnp.float32)
-    base = w[:, :, 0::2, 0::2, 0::2]
-    w = jnp.zeros((n_in, n_out, k, k, k), jnp.float32)
-    for i in range(2):
-        for j in range(2):
-            for l in range(2):
-                w = w.at[:, :, i::2, j::2, l::2].set(base)
+    base = jax.random.uniform(key, (n_in, n_out, k // 2, k // 2, k // 2),
+                              minval=-bound, maxval=bound, dtype=jnp.float32)
+    # phase tying w[:, :, i::2, j::2, l::2] = base for all 8 phases is a
+    # nearest-neighbour upsample of the sub-kernel
+    w = base
+    for axis in (2, 3, 4):
+        w = jnp.repeat(w, 2, axis=axis)
     return {"w": w, "b": jnp.zeros((n_out,), jnp.float32)}
 
 

@@ -290,7 +290,7 @@ class Network:
         return raws, xyz
 
     def _render_chunk(self, params, statics, state, rays_o, rays_d, near,
-                      far, bgcolor, iter_val, non_rigid_input,
+                      far, ray_valid, bgcolor, iter_val, non_rigid_input,
                       motion_scale_Rs, motion_Ts, motion_weights_vol,
                       cnl_bbox_min_xyz, cnl_bbox_scale_xyz,
                       *, training, ignore_non_rigid, perturb, rng,
@@ -305,6 +305,9 @@ class Network:
         x_skel, fg_mask = sample_motion_fields(
             pts, motion_scale_Rs, motion_Ts, motion_weights_vol,
             cnl_bbox_min_xyz, cnl_bbox_scale_xyz)
+        # padded rays (near = far = 0, ray_valid = 0) must composite to
+        # exactly bgcolor: zero their foreground likelihood
+        fg_mask = fg_mask * ray_valid[:, None, None]
 
         flat = x_skel.reshape(-1, 3)
         raws, _ = self._query_canonical(
@@ -325,6 +328,7 @@ class Network:
             dist_in = jax.lax.stop_gradient((dist < 0.0).astype(jnp.float32))
             comp = dist_in * jnp.exp(
                 jnp.clip(-jax.nn.relu(alpha_m), -10.0, 0.0)) * 10.0
+            comp = comp * ray_valid[:, None]  # padded rays contribute 0
             result["comp_loss"] = comp.reshape(-1)
 
             # visibility counter update (network.py:501-517): canonical
@@ -377,6 +381,9 @@ class Network:
 
         rays_o, rays_d = batch["rays"][0], batch["rays"][1]
         near, far = batch["near"], batch["far"]
+        ray_valid = batch.get("ray_valid")
+        if ray_valid is None:
+            ray_valid = jnp.ones((rays_o.shape[0],), jnp.float32)
         bgcolor = batch["bgcolor"]
         N = rays_o.shape[0]
         chunk = chunk or self.cfg.chunk
@@ -392,7 +399,8 @@ class Network:
 
         if N <= chunk:
             out = self._render_chunk(params, statics, state, rays_o, rays_d,
-                                     near, far, bgcolor, rng=rng, **kwargs)
+                                     near, far, ray_valid, bgcolor, rng=rng,
+                                     **kwargs)
         else:
             assert N % chunk == 0, (
                 f"ray count {N} must be padded to a multiple of the chunk "
@@ -402,14 +410,15 @@ class Network:
                     else jnp.zeros((nb, 2), jnp.uint32))
 
             def body(args):
-                ro, rd, nr, fr, k = args
+                ro, rd, nr, fr, rv, k = args
                 return self._render_chunk(params, statics, state, ro, rd,
-                                          nr, fr, bgcolor, rng=k, **kwargs)
+                                          nr, fr, rv, bgcolor, rng=k,
+                                          **kwargs)
 
             mapped = jax.lax.map(body, (
                 rays_o.reshape(nb, chunk, 3), rays_d.reshape(nb, chunk, 3),
                 near.reshape(nb, chunk, 1), far.reshape(nb, chunk, 1),
-                keys))
+                ray_valid.reshape(nb, chunk), keys))
             out = jax.tree.map(
                 lambda x: x.reshape((-1,) + x.shape[2:]), mapped)
 

@@ -1,0 +1,260 @@
+"""Trainer: jitted train step, loss assembly, progress rendering,
+checkpointing.
+
+Behavioral equivalent of the reference Trainer
+(`core/train/trainers/occnerf/trainer.py`), restructured for TPU:
+
+- the whole optimization step — forward, LPIPS+MSE+completeness loss,
+  backward, global-norm clip 1.0, Adam update, per-group exp LR decay — is
+  ONE jitted function of pytrees (no Python in the hot loop);
+- the visibility-counter side effect is the returned ``state`` pytree;
+- patch images come back as a reshape (static patch layout) instead of the
+  reference's per-patch scatter loop (`trainer.py:31-41`);
+- checkpoints are msgpack pytrees with the reference cadence
+  (`latest`/`iter_N`/`init`, `configs/default.yaml:93-94`).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import cfg
+from ..data import create_dataloader, unpack_to_image
+from ..metrics.lpips import LPIPS, scale_for_lpips
+from ..utils.image import save_image, tile_images, to_8b_image
+from ..utils.log import Timer
+from . import checkpoint as ckpt
+from .optimizer import get_optimizer
+
+EXCLUDE_KEYS_TO_GPU = ["frame_name", "img_width", "img_height", "idx",
+                       "time", "ray_mask", "n_valid_rays", "patch_xy",
+                       "Rh", "Th", "joints", "poses", "betas", "verts"]
+
+PROGRESS_EXTRA_ITERS = (20, 100, 300, 1000, 2500)
+
+
+def _device_batch(batch: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
+    return {k: jnp.asarray(v) for k, v in batch.items()
+            if k not in EXCLUDE_KEYS_TO_GPU}
+
+
+class Trainer:
+    def __init__(self, network, statics, params, state,
+                 progress_loader=None):
+        self.network = network
+        self.statics = statics
+        self.params = params
+        self.state = state
+        self.logdir = cfg.logdir
+
+        self.lpips = None
+        self.lpips_params = None
+        if "lpips" in cfg.train.lossweights:
+            self.lpips = LPIPS()
+            npz = os.path.join("third_parties", "lpips", "lpips_vgg.npz")
+            if LPIPS.has_pretrained(npz):
+                self.lpips_params = LPIPS.load_weights(npz)
+            else:
+                print("[Trainer] WARNING: no converted LPIPS weights at "
+                      f"{npz}; using fixed random VGG features "
+                      "(run tools/convert_lpips_weights.py for parity)")
+                self.lpips_params = self.lpips.init_random(
+                    jax.random.PRNGKey(0))
+
+        self.tx, self.opt_state = get_optimizer(self.params)
+
+        self.iter = 0
+        if cfg.resume and ckpt.ckpt_exists(self.logdir, cfg.load_net):
+            self.load_ckpt(cfg.load_net)
+        else:
+            self.save_ckpt("init")
+            self.iter = 1
+
+        self.timer = Timer()
+        self.rng = jax.random.PRNGKey(cfg.get("tpu", {}).get("seed", 42))
+        self._train_step = None
+        self._render_step = None
+        self.progress_loader = progress_loader
+
+    # ------------------------------------------------------------------
+    # jitted steps
+    # ------------------------------------------------------------------
+    def _build_train_step(self):
+        network = self.network
+        lpips_model = self.lpips
+        lpips_params = self.lpips_params
+        weights = {k: float(v) for k, v in cfg.train.lossweights.items()}
+        n_patches = cfg.patch.N_patches
+        psize = cfg.patch.size
+        perturb = float(cfg.train.perturb)
+        n_samples = cfg.N_samples
+
+        def loss_fn(params, state, statics, batch, it, key):
+            out, new_state = network.forward(
+                params, statics, state, batch, it, training=True,
+                perturb=perturb, rng=key)
+            rgb = out["rgb"].reshape(n_patches, psize, psize, 3)
+            target = batch["target_patches"]
+
+            losses = {}
+            if "mse" in weights:
+                losses["mse"] = jnp.mean((rgb - target) ** 2)
+            if "l1" in weights:
+                losses["l1"] = jnp.mean(jnp.abs(rgb - target))
+            if "lpips" in weights:
+                d = lpips_model.apply(lpips_params,
+                                      scale_for_lpips(rgb),
+                                      scale_for_lpips(target))
+                losses["lpips"] = jnp.mean(d)
+
+            total = sum(weights[k] * losses[k] for k in losses)
+            if "comp_loss" in out:
+                # mean over the *valid* samples only — matches the
+                # reference's mean over rendered rays (trainer.py:167-170)
+                denom = jnp.maximum(
+                    jnp.sum(batch["ray_valid"]) * n_samples, 1.0)
+                comp = jnp.sum(out["comp_loss"]) / denom
+                losses["comp_loss"] = comp
+                total = total + comp
+            return total, (new_state, losses)
+
+        tx = self.tx
+
+        def train_step(params, state, opt_state, statics, batch, it, key):
+            (loss, (new_state, losses)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, state, statics, batch, it,
+                                       key)
+            updates, new_opt_state = tx.update(grads, opt_state, params)
+            new_params = jax.tree.map(
+                lambda p, u: p + u, params, updates)
+            return new_params, new_state, new_opt_state, loss, losses
+
+        return jax.jit(train_step, donate_argnums=(0, 1, 2))
+
+    def _build_render_step(self):
+        network = self.network
+
+        def render_step(params, state, statics, batch, it):
+            out, _ = network.forward(
+                params, statics, state, batch, it, training=False,
+                perturb=0.0, rng=None,
+                ignore_non_rigid=bool(cfg.ignore_non_rigid_motions))
+            return out
+
+        return jax.jit(render_step)
+
+    # ------------------------------------------------------------------
+    def train_step(self, batch: Dict[str, Any]):
+        if self._train_step is None:
+            self._train_step = self._build_train_step()
+        self.rng, key = jax.random.split(self.rng)
+        dbatch = _device_batch(batch)
+        (self.params, self.state, self.opt_state, loss, losses) = \
+            self._train_step(self.params, self.state, self.opt_state,
+                             self.statics, dbatch,
+                             jnp.float32(self.iter), key)
+        return loss, losses
+
+    def render(self, batch: Dict[str, Any], iter_val: Optional[int] = None):
+        if self._render_step is None:
+            self._render_step = self._build_render_step()
+        dbatch = _device_batch(batch)
+        it = jnp.float32(cfg.eval_iter if iter_val is None else iter_val)
+        return self._render_step(self.params, self.state, self.statics,
+                                 dbatch, it)
+
+    # ------------------------------------------------------------------
+    def train(self, epoch: int, dataloader) -> bool:
+        """One epoch; returns True when maxiter is reached."""
+        log_interval = cfg.train.log_interval
+        for batch in dataloader:
+            if self.iter > cfg.train.maxiter:
+                return True
+            loss, losses = self.train_step(batch)
+
+            if self.iter % log_interval == 0:
+                loss = float(loss)
+                parts = ", ".join(
+                    f"{k}: {float(v):.5f}" for k, v in sorted(losses.items()))
+                print(f"Epoch: {epoch} [Iter {self.iter}, "
+                      f"{self.timer.log()}] loss: {loss:.5f} [{parts}]")
+
+            is_reload_model = False
+            if self.iter in PROGRESS_EXTRA_ITERS or \
+                    self.iter % cfg.progress.dump_interval == 0:
+                is_reload_model = self.progress()
+
+            if not is_reload_model:
+                if self.iter % cfg.train.save_checkpt_interval == 0:
+                    self.save_ckpt("latest")
+                if cfg.save_all and \
+                        self.iter % cfg.train.save_model_interval == 0:
+                    self.save_ckpt(f"iter_{self.iter}")
+                self.iter += 1
+        return self.iter > cfg.train.maxiter
+
+    # ------------------------------------------------------------------
+    def progress(self) -> bool:
+        """Render the held-out progress frames, tile render|truth pairs,
+        detect empty renders (`trainer.py:301-392`)."""
+        if self.progress_loader is None:
+            try:
+                self.progress_loader = create_dataloader("progress")
+            except Exception as e:  # no progress split configured
+                print(f"[Trainer] progress rendering skipped: {e}")
+                return False
+
+        images = []
+        is_empty_img = False
+        for batch in self.progress_loader:
+            H, W = batch["img_height"], batch["img_width"]
+            bgcolor = np.asarray(batch["bgcolor"], np.float32) / 255.0
+            out = self.render(batch, iter_val=self.iter)
+            n_valid = int(batch["n_valid_rays"])
+            rgb = unpack_to_image(
+                H, W, batch["ray_mask"], bgcolor,
+                np.asarray(out["rgb"]), n_valid)
+            truth = unpack_to_image(
+                H, W, batch["ray_mask"], bgcolor,
+                np.asarray(batch["target_rgbs"]), n_valid) \
+                if "target_rgbs" in batch else np.zeros_like(rgb)
+            images.append(np.concatenate(
+                [to_8b_image(rgb), to_8b_image(truth)], axis=1))
+
+            if np.allclose(rgb, bgcolor, atol=5.0 / 255.0) and \
+                    self.iter <= 5000:
+                is_empty_img = True
+                break
+
+        os.makedirs(self.logdir, exist_ok=True)
+        tiled = tile_images(images)
+        save_image(tiled, os.path.join(
+            self.logdir, f"prog_{self.iter:06d}.jpg"))
+
+        if is_empty_img:
+            print("Produces empty images.")
+        return False  # reference keeps reload disabled (trainer.py:374-389)
+
+    # ------------------------------------------------------------------
+    def save_ckpt(self, name: str):
+        path = ckpt.save_ckpt(self.logdir, name, iter_val=self.iter,
+                              params=self.params, state=self.state,
+                              opt_state=self.opt_state)
+        print(f"save checkpoint to {path} ...")
+
+    def load_ckpt(self, name: str):
+        print(f"load network from {ckpt.ckpt_path(self.logdir, name)} ...")
+        restored = ckpt.load_ckpt(
+            self.logdir, name, params_template=self.params,
+            state_template=self.state,
+            opt_state_template=self.opt_state)
+        self.iter = restored["iter"] + 1
+        self.params = restored["params"]
+        self.state = restored["state"]
+        self.opt_state = restored["opt_state"]

@@ -55,7 +55,7 @@ class Timer:
     """Wall-clock stopwatch (reference `core/utils/train_util.py:32-42`)."""
 
     def __init__(self):
-        self.curr_time = 0.0
+        self.curr_time = time.time()
 
     def begin(self) -> None:
         self.curr_time = time.time()
