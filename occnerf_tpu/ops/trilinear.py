@@ -91,7 +91,8 @@ def sample_motion_fields(pts: jnp.ndarray,
                          motion_weights_vol: jnp.ndarray,
                          cnl_bbox_min_xyz: jnp.ndarray,
                          cnl_bbox_scale_xyz: jnp.ndarray,
-                         weight_clamp: float = 0.0001):
+                         weight_clamp: float = 0.0001,
+                         use_pallas: bool | None = None):
     """Inverse-LBS skeletal warp: observation points -> canonical points.
 
     Behavioral equivalent of `network.py:351-402` (minus its background
@@ -133,7 +134,16 @@ def sample_motion_fields(pts: jnp.ndarray,
 
     size = jnp.array([W - 1, H - 1, D - 1], pos.dtype).reshape(3, 1, 1)
     f = (grid + 1.0) * 0.5 * size
-    weights = _flat_trilinear(weights_vol, f[0], f[1], f[2])  # (B, N)
+    if use_pallas is None:
+        use_pallas = (jax.default_backend() == "tpu" and (D, H, W) == (
+            32, 32, 32))
+    if use_pallas:
+        # XLA lowers this computed-index gather to a ~8.7 ns/element scalar
+        # loop on TPU; the Pallas one-hot-matmul kernel is ~40x faster
+        from .motion_pallas import trilinear_bone_weights
+        weights = trilinear_bone_weights(weights_vol, f[0], f[1], f[2])
+    else:
+        weights = _flat_trilinear(weights_vol, f[0], f[1], f[2])  # (B, N)
 
     wsum = jnp.sum(weights, axis=0)                           # (N,)
     x_skel = jnp.einsum("bn,ibn->in", weights, pos) / \

@@ -88,14 +88,13 @@ class Trainer:
     def _build_train_step(self):
         network = self.network
         lpips_model = self.lpips
-        lpips_params = self.lpips_params
         weights = {k: float(v) for k, v in cfg.train.lossweights.items()}
         n_patches = cfg.patch.N_patches
         psize = cfg.patch.size
         perturb = float(cfg.train.perturb)
         n_samples = cfg.N_samples
 
-        def loss_fn(params, state, statics, batch, it, key):
+        def loss_fn(params, state, statics, lpips_params, batch, it, key):
             out, new_state = network.forward(
                 params, statics, state, batch, it, training=True,
                 perturb=perturb, rng=key)
@@ -126,10 +125,11 @@ class Trainer:
 
         tx = self.tx
 
-        def train_step(params, state, opt_state, statics, batch, it, key):
+        def train_step(params, state, opt_state, statics, lpips_params,
+                       batch, it, key):
             (loss, (new_state, losses)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params, state, statics, batch, it,
-                                       key)
+                loss_fn, has_aux=True)(params, state, statics,
+                                       lpips_params, batch, it, key)
             updates, new_opt_state = tx.update(grads, opt_state, params)
             new_params = jax.tree.map(
                 lambda p, u: p + u, params, updates)
@@ -147,6 +147,8 @@ class Trainer:
                 ignore_non_rigid=bool(cfg.ignore_non_rigid_motions))
             return out
 
+        # render ray counts vary per frame; new shapes recompile, so cache
+        # per padded-length executable
         return jax.jit(render_step)
 
     # ------------------------------------------------------------------
@@ -157,7 +159,7 @@ class Trainer:
         dbatch = _device_batch(batch)
         (self.params, self.state, self.opt_state, loss, losses) = \
             self._train_step(self.params, self.state, self.opt_state,
-                             self.statics, dbatch,
+                             self.statics, self.lpips_params, dbatch,
                              jnp.float32(self.iter), key)
         return loss, losses
 
