@@ -51,6 +51,9 @@ class NetworkConfig:
     total_bones: int = 24
     n_samples: int = 128
     chunk: int = 8192
+    # training rays are chunked + rematerialized: the per-sample KNN
+    # feature tensors (N, 4k, C) otherwise blow past HBM with AD residuals
+    train_chunk: int = 1024
     bbox_offset: float = 0.3
     knn_k: int = 10
     sdf_k: int = 3
@@ -125,7 +128,9 @@ class Network:
         self.cfg = config or NetworkConfig.from_cfg()
         c = self.cfg
 
-        self.is_occnerf_mlp = "occnerf_mlp" in c.canonical_module
+        # 'canonical_mlps.occnerf' (ocmotion configs) and
+        # 'canonical_mlps.occnerf_mlp' both select the OccNeRF MLP
+        self.is_occnerf_mlp = "mlp_rgb_sigma" not in c.canonical_module
 
         self.pose_refiner = BodyPoseRefiner(
             embedding_size=c.pose_embedding_size, mlp_width=c.pose_mlp_width,
@@ -386,7 +391,8 @@ class Network:
             ray_valid = jnp.ones((rays_o.shape[0],), jnp.float32)
         bgcolor = batch["bgcolor"]
         N = rays_o.shape[0]
-        chunk = chunk or self.cfg.chunk
+        chunk = chunk or (self.cfg.train_chunk if training and
+                          self.is_occnerf_mlp else self.cfg.chunk)
 
         kwargs = dict(
             iter_val=iter_val, non_rigid_input=non_rigid_input,
@@ -415,12 +421,22 @@ class Network:
                                           nr, fr, rv, bgcolor, rng=k,
                                           **kwargs)
 
+            if training:
+                # rematerialize per chunk: keeps AD residuals to one
+                # chunk's worth (the reference's netchunk memory knob)
+                body = jax.checkpoint(body)
+
             mapped = jax.lax.map(body, (
                 rays_o.reshape(nb, chunk, 3), rays_d.reshape(nb, chunk, 3),
                 near.reshape(nb, chunk, 1), far.reshape(nb, chunk, 1),
                 ray_valid.reshape(nb, chunk), keys))
+            # per-ray outputs flatten over chunks; per-vertex accumulators
+            # (counter_inc) sum over chunks
+            counter = mapped.pop("counter_inc", None)
             out = jax.tree.map(
                 lambda x: x.reshape((-1,) + x.shape[2:]), mapped)
+            if counter is not None:
+                out["counter_inc"] = jnp.sum(counter, axis=0)
 
         new_state = dict(state)
         if "counter_inc" in out:

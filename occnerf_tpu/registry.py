@@ -68,6 +68,9 @@ _alias("canonical_mlp",
        "occnerf_tpu.models.canonical:VanillaCanonicalMLP")
 _alias("canonical_mlp",
        ["core.nets.occnerf.canonical_mlps.occnerf_mlp",
+        # the shipped ocmotion configs spell it without the _mlp suffix
+        # (`configs/occnerf/ocmotion/0011_02/occnerf.yaml:8`)
+        "core.nets.occnerf.canonical_mlps.occnerf",
         "occnerf_tpu.models.canonical.occnerf_mlp"],
        "occnerf_tpu.models.canonical:OccNeRFCanonicalMLP")
 

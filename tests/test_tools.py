@@ -1,0 +1,180 @@
+"""Data-prep tool tests: synthetic raw captures through the prep pipelines,
+loaded back through the real datasets."""
+
+import json
+import os
+import pickle
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _write_smpl_models(model_dir):
+    from occnerf_tpu.smpl.model import (MODEL_FILENAMES, save_model,
+                                        synthetic_smpl_model)
+    os.makedirs(model_dir, exist_ok=True)
+    save_model(synthetic_smpl_model(n_verts=128, seed=0),
+               os.path.join(model_dir, MODEL_FILENAMES["neutral"]))
+
+
+def _fake_zju_subject(root, subject="387", n_frames=3, n_views=3,
+                      size=48):
+    """Fabricate a raw ZJU-MoCap layout: annots.npy, new_params, images,
+    mask + mask_cihp."""
+    from PIL import Image
+    rng = np.random.default_rng(0)
+    sdir = os.path.join(root, f"CoreView_{subject}")
+    os.makedirs(os.path.join(sdir, "new_params"), exist_ok=True)
+
+    K = [np.array([[60.0, 0, size / 2], [0, 60.0, size / 2], [0, 0, 1]])
+         for _ in range(n_views)]
+    R = [np.eye(3) for _ in range(n_views)]
+    T = [np.array([[0.0], [0.0], [2500.0]]) for _ in range(n_views)]
+    D = [np.zeros((5, 1)) for _ in range(n_views)]
+    ims = []
+    for fi in range(n_frames):
+        frame_views = []
+        for vi in range(n_views):
+            rel = f"Camera ({vi + 1})/{fi:04d}.jpg"
+            path = os.path.join(sdir, rel)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            img = (rng.random((size, size, 3)) * 255).astype(np.uint8)
+            Image.fromarray(img).save(path)
+            for mdir in ("mask", "mask_cihp"):
+                mpath = os.path.join(sdir, mdir, rel[:-4] + ".png")
+                os.makedirs(os.path.dirname(mpath), exist_ok=True)
+                m = np.zeros((size, size), np.uint8)
+                m[10:40, 10:40] = 255
+                Image.fromarray(m).save(mpath)
+            frame_views.append(rel)
+        ims.append({"ims": frame_views})
+        np.save(os.path.join(sdir, "new_params", f"{fi}.npy"),
+                {"shapes": rng.normal(0, 0.1, (1, 10)),
+                 "poses": rng.normal(0, 0.1, (1, 72)),
+                 "Rh": rng.normal(0, 0.1, (1, 3)),
+                 "Th": rng.normal(0, 0.1, (1, 3))})
+    np.save(os.path.join(sdir, "annots.npy"),
+            {"cams": {"K": K, "R": R, "T": T, "D": D}, "ims": ims})
+    return sdir
+
+
+
+def _load_tool(path, name):
+    """Import a prep tool by file path (both dirs share module names)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+def _run(tool, cfg_path, cwd):
+    r = subprocess.run([sys.executable, tool, "--cfg", cfg_path],
+                       capture_output=True, text=True, cwd=cwd,
+                       env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert r.returncode == 0, r.stdout + r.stderr
+
+
+@pytest.fixture(scope="module")
+def zju_prep(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("zju"))
+    sdir = _fake_zju_subject(root)
+    out_dir = os.path.join(root, "out")
+    model_dir = os.path.join(root, "models")
+    _write_smpl_models(model_dir)
+
+    import yaml
+    cfg = {"dataset": {"zju_mocap_path": root, "subject": "387",
+                       "sex": "neutral"},
+           "training_view": 0, "max_frames": -1,
+           "output": {"dir": out_dir, "name": "387"}}
+    cfg_path = os.path.join(root, "387.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    return root, out_dir, cfg_path, model_dir
+
+
+def test_zju_prepare_dataset(zju_prep, monkeypatch):
+    root, out_dir, cfg_path, model_dir = zju_prep
+    pd = _load_tool(os.path.join(REPO, "tools", "prepare_zju_mocap",
+                                 "prepare_dataset.py"), "zju_prep_ds")
+    monkeypatch.setattr(pd, "MODEL_DIR", model_dir)
+    monkeypatch.setattr(sys, "argv", ["prepare_dataset.py", "--cfg",
+                                      cfg_path])
+    pd.main()
+
+    subject_out = os.path.join(out_dir, "387")
+    for fname in ("cameras.pkl", "mesh_infos.pkl", "canonical_joints.pkl"):
+        assert os.path.exists(os.path.join(subject_out, fname)), fname
+    with open(os.path.join(subject_out, "mesh_infos.pkl"), "rb") as f:
+        infos = pickle.load(f)
+    assert len(infos) == 3
+    info = infos["frame_000000"]
+    for k in ("Rh", "Th", "poses", "betas", "joints", "tpose_joints",
+              "dapose_joints"):
+        assert k in info, k
+
+    # the prepared subject loads through the real dataset
+    from occnerf_tpu.config import cfg as gcfg
+    gcfg.synthetic_dataset_path = subject_out
+    from occnerf_tpu.data.train import Dataset
+    ds = Dataset(dataset_path=subject_out,
+                 keyfilter=["rays", "motion_bases", "cnl_bbox",
+                            "dst_posevec_69"],
+                 ray_shoot_mode="image", bgcolor=[0., 0., 0.], seed=0)
+    item = ds[0]
+    assert item["rays"].shape[0] == 2
+
+    # all_cameras tool
+    pac = _load_tool(os.path.join(REPO, "tools", "prepare_zju_mocap",
+                                  "prepare_all_cameras.py"), "zju_prep_ac")
+    monkeypatch.setattr(sys, "argv", ["prepare_all_cameras.py", "--cfg",
+                                      cfg_path])
+    pac.main()
+    assert os.path.exists(os.path.join(subject_out, "all_cameras.pkl"))
+
+
+def test_wild_prepare_dataset(tmp_path, monkeypatch):
+    from occnerf_tpu.smpl.model import synthetic_smpl_model, save_model
+    root = str(tmp_path)
+    sdir = os.path.join(root, "wild", "subjectA")
+    os.makedirs(sdir, exist_ok=True)
+    model_dir = os.path.join(root, "models")
+    _write_smpl_models(model_dir)
+
+    rng = np.random.default_rng(0)
+    meta = {}
+    for fi in range(3):
+        meta[f"frame_{fi:06d}"] = {
+            "poses": rng.normal(0, 0.1, 72).tolist(),
+            "betas": rng.normal(0, 0.1, 10).tolist(),
+            "cam_intrinsics": np.eye(3).tolist(),
+            "cam_extrinsics": np.eye(4).tolist(),
+        }
+    with open(os.path.join(sdir, "metadata.json"), "w") as f:
+        json.dump(meta, f)
+
+    import yaml
+    cfg = {"dataset": {"path": os.path.join(root, "wild"),
+                       "subject": "subjectA", "sex": "neutral"}}
+    cfg_path = os.path.join(root, "wild.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    wpd = _load_tool(os.path.join(REPO, "tools", "prepare_wild",
+                                  "prepare_dataset.py"), "wild_prep_ds")
+    monkeypatch.setattr(wpd, "MODEL_DIR", model_dir)
+    monkeypatch.setattr(sys, "argv", ["prepare_dataset.py", "--cfg",
+                                      cfg_path])
+    wpd.main()
+
+    with open(os.path.join(sdir, "mesh_infos.pkl"), "rb") as f:
+        infos = pickle.load(f)
+    info = infos["frame_000000"]
+    # global rotation transferred: body pose root zeroed
+    assert np.allclose(info["poses"][:3], 0.0)
+    assert os.path.exists(os.path.join(sdir, "canonical_joints.pkl"))
