@@ -38,10 +38,12 @@ def main() -> None:
 
     c = get_default_cfg()
     c.synthetic_dataset_path = subject_path
-    # flagship model at reference scale
+    # flagship model at reference scale; the 2^14 hash cap selects the MXU
+    # one-hot encoder kernel (the 2^19 XLA gather path costs ~15 s/step)
     c.canonical_mlp.module = "core.nets.occnerf.canonical_mlps.occnerf_mlp"
     c.canonical_mlp.mlp_depth = 4
     c.canonical_mlp.mlp_width = 256
+    c.canonical_mlp.log2_hashmap_size = 14
     c.logdir = os.path.join(tmp, "logs")
     c.progress.dump_interval = 10 ** 9
     c.train.save_checkpt_interval = 10 ** 9

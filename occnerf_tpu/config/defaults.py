@@ -49,6 +49,14 @@ def get_default_cfg() -> CfgNode:
         mlp_width=256,
         multires=10,
         i_embed=0,
+        # hash-grid geometry (occnerf_mlp only; matches gridencoder
+        # defaults `occnerf_mlp.py:45`).  log2_hashmap_size <= 15 selects
+        # the MXU one-hot kernel on TPU (~20x faster than the XLA
+        # gather/scatter path; smaller table = more hash collisions)
+        num_levels=16,
+        level_dim=2,
+        base_resolution=16,
+        log2_hashmap_size=19,
     ))
 
     # ---- motion weight volume --------------------------------------------

@@ -32,13 +32,27 @@ from ..utils.camera import get_rays_from_KRT, rays_intersect_3d_bbox
 
 
 def build_rays(H: int, W: int, K: np.ndarray, E: np.ndarray,
-               bbox: Dict) -> Dict[str, np.ndarray]:
+               bbox: Dict, use_native: bool = True
+               ) -> Dict[str, np.ndarray]:
     """Full-image rays + bbox intersection.
 
     Returns dense per-pixel arrays plus the flat ``ray_mask`` of rays that
-    hit the (margin-expanded) body bbox.
+    hit the (margin-expanded) body bbox.  Uses the fused C++ core
+    (occnerf_tpu.native) when its toolchain is available; the numpy path
+    below is the reference implementation and the fallback.
     """
     R, T = E[:3, :3], E[:3, 3]
+
+    if use_native:
+        from .. import native
+        out = native.build_rays_native(
+            H, W, K, R, T, np.asarray(bbox["min_xyz"], np.float64),
+            np.asarray(bbox["max_xyz"], np.float64))
+        if out is not None:
+            rays_o, rays_d, near, far, ray_mask = out
+            return {"rays_o": rays_o, "rays_d": rays_d,
+                    "near": near, "far": far, "ray_mask": ray_mask}
+
     rays_o, rays_d = get_rays_from_KRT(H, W, K, R, T)
     rays_o = rays_o.reshape(-1, 3).astype(np.float32)
     rays_d = rays_d.reshape(-1, 3).astype(np.float32)

@@ -18,8 +18,23 @@ from typing import Dict, Sequence
 import jax
 import jax.numpy as jnp
 
+import jax as _jax
+
 from ..ops.hashgrid import HashGridSpec, hash_grid_encode
+from ..ops import hashgrid_pallas
 from .layers import RELU_GAIN, init_linear, linear
+
+
+def _encode_no_input_grad(x, table, spec):
+    """Hash-grid encode for inputs that carry no gradient.
+
+    On TPU with kernel-compatible specs this takes the MXU one-hot path
+    (hashgrid_pallas — the XLA gather/scatter lowering costs ~15 s per
+    reference-scale step); otherwise the XLA reference path.
+    """
+    if _jax.default_backend() == "tpu" and hashgrid_pallas.supports(spec):
+        return hashgrid_pallas.hash_grid_encode_tpu(x, table, spec)
+    return hash_grid_encode(x, table, spec)
 
 
 def _cosine_similarity(a: jnp.ndarray, b: jnp.ndarray,
@@ -140,8 +155,11 @@ class OccNeRFCanonicalMLP:
         att = jnp.abs(_cosine_similarity(direction[:, :3],
                                          point_norms[:, :3]))[..., None]
         surf = jnp.sum(att * knn_n[:, :3], axis=1) / jnp.sum(att, axis=1)
-        h_enc = hash_grid_encode(
-            jnp.concatenate([surf, normed_dist], axis=-1),
+        # surf/normed_dist derive from statics and stop-gradients: the
+        # per-sample encode needs no input grads -> MXU kernel eligible
+        h_enc = _encode_no_input_grad(
+            jax.lax.stop_gradient(
+                jnp.concatenate([surf, normed_dist], axis=-1)),
             params["encoder"], self.spec)                        # (N, 32)
 
         # per-vertex features: encode (surface aggregate, sdf), append the

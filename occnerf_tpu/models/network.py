@@ -103,6 +103,13 @@ class NetworkConfig:
             cnl_mlp_width=c.canonical_mlp.mlp_width,
             cnl_multires=c.canonical_mlp.multires,
             cnl_i_embed=c.canonical_mlp.i_embed,
+            # hash-grid geometry overridable per config; <= 2^15 selects
+            # the MXU one-hot kernel on TPU (hashgrid_pallas)
+            cnl_num_levels=c.canonical_mlp.get("num_levels", 16),
+            cnl_level_dim=c.canonical_mlp.get("level_dim", 2),
+            cnl_base_resolution=c.canonical_mlp.get("base_resolution", 16),
+            cnl_log2_hashmap_size=c.canonical_mlp.get(
+                "log2_hashmap_size", 19),
             mweight_module=c.mweight_volume.module,
             mweight_embedding_size=c.mweight_volume.embedding_size,
             mweight_volume_size=c.mweight_volume.volume_size,

@@ -142,3 +142,21 @@ def test_dataset_args_registry(syn_cfg):
     assert "processed" in args["dataset_path"]
     with pytest.raises(KeyError):
         DatasetArgs.get("nonexistent")
+
+
+def test_native_ray_sampler_matches_numpy():
+    from occnerf_tpu import native
+    from occnerf_tpu.data.rays import build_rays
+    if not native.available():
+        pytest.skip("no native toolchain")
+    H = W = 96
+    K = np.array([[120.0, 0, W / 2], [0, 120.0, H / 2], [0, 0, 1]])
+    E = np.eye(4)
+    E[:3, 3] = [0.05, -0.1, 2.5]
+    bbox = {"min_xyz": np.array([-0.6, -0.9, -0.4]),
+            "max_xyz": np.array([0.6, 0.9, 0.4])}
+    a = build_rays(H, W, K, E, bbox, use_native=True)
+    b = build_rays(H, W, K, E, bbox, use_native=False)
+    assert np.array_equal(a["ray_mask"], b["ray_mask"])
+    for k in ("rays_o", "rays_d", "near", "far"):
+        np.testing.assert_allclose(a[k], b[k], atol=1e-4)

@@ -1,0 +1,78 @@
+"""Pallas kernel oracle tests (interpret mode on CPU).
+
+Each TPU kernel is checked against the XLA reference implementation it
+replaces — values and gradients (SURVEY.md §4(b)).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+
+def test_motion_pallas_matches_xla_fwd_and_grads():
+    from occnerf_tpu.ops.motion_pallas import trilinear_bone_weights
+    from occnerf_tpu.ops.trilinear import _flat_trilinear
+
+    B, D, N = 3, 32, 640
+    rng = np.random.default_rng(0)
+    vols = jnp.asarray(rng.uniform(size=(B, D, D, D)).astype(np.float32))
+    fx = jnp.asarray(rng.uniform(-2, 33, (B, N)).astype(np.float32))
+    fy = jnp.asarray(rng.uniform(-2, 33, (B, N)).astype(np.float32))
+    fz = jnp.asarray(rng.uniform(-2, 33, (B, N)).astype(np.float32))
+
+    w = trilinear_bone_weights(vols, fx, fy, fz)
+    w_ref = _flat_trilinear(vols, fx, fy, fz)
+    np.testing.assert_allclose(np.asarray(w), np.asarray(w_ref),
+                               atol=1e-5)
+
+    def loss(vols, fx, fy, fz):
+        return jnp.sum(trilinear_bone_weights(vols, fx, fy, fz) ** 2)
+
+    def loss_ref(vols, fx, fy, fz):
+        return jnp.sum(_flat_trilinear(vols, fx, fy, fz) ** 2)
+
+    g = jax.grad(loss, argnums=(0, 1, 2, 3))(vols, fx, fy, fz)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(vols, fx, fy, fz)
+    for a, b, name in zip(g, g_ref, ("dvols", "dfx", "dfy", "dfz")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, err_msg=name)
+
+
+def test_hashgrid_pallas_matches_xla():
+    from occnerf_tpu.ops.hashgrid import HashGridSpec, hash_grid_encode
+    from occnerf_tpu.ops.hashgrid_pallas import (hash_grid_encode_tpu,
+                                                 supports)
+
+    spec = HashGridSpec.create(input_dim=4, num_levels=4, level_dim=2,
+                               base_resolution=16, log2_hashmap_size=13,
+                               desired_resolution=512)
+    assert supports(spec)
+    key = jax.random.PRNGKey(0)
+    table = spec.init_table(key)
+    x = jax.random.uniform(key, (640, 4), minval=-0.05, maxval=1.05)
+
+    out = hash_grid_encode_tpu(x, table, spec)
+    ref = hash_grid_encode(x, table, spec)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    g = jax.grad(lambda t: jnp.sum(hash_grid_encode_tpu(x, t, spec) ** 2)
+                 )(table)
+    g_ref = jax.grad(lambda t: jnp.sum(hash_grid_encode(x, t, spec) ** 2)
+                     )(table)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-4)
+
+
+def test_hashgrid_pallas_supports_gate():
+    from occnerf_tpu.ops.hashgrid import HashGridSpec
+    from occnerf_tpu.ops.hashgrid_pallas import supports
+
+    big = HashGridSpec.create(input_dim=4, num_levels=16, level_dim=2,
+                              base_resolution=16, log2_hashmap_size=19,
+                              desired_resolution=4096)
+    assert not supports(big)  # 2^19 tables: one-hot matmuls not viable
+    # 3-D specs have dense (non-hashed) coarse levels -> XLA path
+    d3 = HashGridSpec.create(input_dim=3, num_levels=16, level_dim=2,
+                             base_resolution=16, log2_hashmap_size=14,
+                             desired_resolution=2048)
+    assert not supports(d3)
