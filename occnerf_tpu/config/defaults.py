@@ -186,6 +186,8 @@ def get_default_cfg() -> CfgNode:
         eval_ray_bucket=8192,       # rays padded to a multiple of this at eval
         prefetch=2,                 # host->device prefetch depth
         seed=42,
+        profile_dir="",             # jax profiler trace dir ("" = off)
+        profile_steps=5,            # iterations captured per trace
     ))
 
     return c

@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 import jax as _jax
+from jax import ad_checkpoint as _adc
 
 from ..ops.hashgrid import HashGridSpec, hash_grid_encode
 from ..ops import hashgrid_pallas
@@ -33,8 +34,11 @@ def _encode_no_input_grad(x, table, spec):
     reference-scale step); otherwise the XLA reference path.
     """
     if _jax.default_backend() == "tpu" and hashgrid_pallas.supports(spec):
-        return hashgrid_pallas.hash_grid_encode_tpu(x, table, spec)
-    return hash_grid_encode(x, table, spec)
+        out = hashgrid_pallas.hash_grid_encode_tpu(x, table, spec)
+    else:
+        out = hash_grid_encode(x, table, spec)
+    # saved (not recomputed) under the training remat policy
+    return _adc.checkpoint_name(out, "hash_enc")
 
 
 def _cosine_similarity(a: jnp.ndarray, b: jnp.ndarray,

@@ -27,6 +27,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
 import jax
+from jax import ad_checkpoint
 import jax.numpy as jnp
 
 from ..config import cfg as global_cfg
@@ -283,10 +284,12 @@ class Network:
                 pos_embed=fourier_embed(xyz, c.cnl_multires))
             return raws, xyz
 
-        idx = multiscale_knn(jax.lax.stop_gradient(xyz),
-                             statics["point_base"],
-                             statics["fps_idx"], c.knn_k,
-                             backend=c.knn_backend)             # (N, 4, k)
+        idx = ad_checkpoint.checkpoint_name(
+            multiscale_knn(jax.lax.stop_gradient(xyz),
+                           statics["point_base"],
+                           statics["fps_idx"], c.knn_k,
+                           backend=c.knn_backend),
+            "knn_idx")                                          # (N, 4, k)
         counter = jax.lax.stop_gradient(state["point_counter"])
         N = xyz.shape[0]
         knn_att = counter[idx.reshape(N, -1)][..., None]        # (N, 4k, 1)
@@ -430,8 +433,13 @@ class Network:
 
             if training:
                 # rematerialize per chunk: keeps AD residuals to one
-                # chunk's worth (the reference's netchunk memory knob)
-                body = jax.checkpoint(body)
+                # chunk's worth (the reference's netchunk memory knob).
+                # The expensive non-differentiable intermediates (KNN
+                # indices, the no-input-grad hash encode) are saved, not
+                # recomputed — together they dominate forward time.
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    "knn_idx", "hash_enc")
+                body = jax.checkpoint(body, policy=policy)
 
             mapped = jax.lax.map(body, (
                 rays_o.reshape(nb, chunk, 3), rays_d.reshape(nb, chunk, 3),

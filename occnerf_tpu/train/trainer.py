@@ -82,6 +82,15 @@ class Trainer:
         self._render_step = None
         self.progress_loader = progress_loader
 
+        # observability: per-log-interval metrics stream + optional
+        # jax profiler capture (SURVEY.md §5 — the reference has only a
+        # wall-clock Timer; these are the cheap superset)
+        os.makedirs(self.logdir, exist_ok=True)
+        self._metrics_path = os.path.join(self.logdir, "metrics.jsonl")
+        self._profile_dir = cfg.get("tpu", {}).get("profile_dir", "")
+        self._profile_steps = cfg.get("tpu", {}).get("profile_steps", 5)
+        self._profiling = False
+
     # ------------------------------------------------------------------
     # jitted steps
     # ------------------------------------------------------------------
@@ -178,14 +187,20 @@ class Trainer:
         for batch in dataloader:
             if self.iter > cfg.train.maxiter:
                 return True
+            self._maybe_profile()
             loss, losses = self.train_step(batch)
 
             if self.iter % log_interval == 0:
                 loss = float(loss)
+                scalars = {k: float(v) for k, v in losses.items()}
                 parts = ", ".join(
-                    f"{k}: {float(v):.5f}" for k, v in sorted(losses.items()))
+                    f"{k}: {v:.5f}" for k, v in sorted(scalars.items()))
+                elapsed = self.timer.log()
                 print(f"Epoch: {epoch} [Iter {self.iter}, "
-                      f"{self.timer.log()}] loss: {loss:.5f} [{parts}]")
+                      f"{elapsed}] loss: {loss:.5f} [{parts}]")
+                self._log_metrics({"iter": self.iter, "epoch": epoch,
+                                   "loss": loss, "sec": elapsed,
+                                   **scalars})
 
             is_reload_model = False
             if self.iter in PROGRESS_EXTRA_ITERS or \
@@ -202,6 +217,52 @@ class Trainer:
         return self.iter > cfg.train.maxiter
 
     # ------------------------------------------------------------------
+    def _log_metrics(self, record: Dict[str, Any]) -> None:
+        import json
+        import time as _time
+        record["time"] = _time.time()
+        with open(self._metrics_path, "a") as f:
+            f.write(json.dumps(record) + "\n")
+
+    def _maybe_profile(self) -> None:
+        """Capture a jax profiler trace for tpu.profile_steps iterations
+        starting at iteration 10 (post-compile) when tpu.profile_dir is
+        set."""
+        if not self._profile_dir:
+            return
+        if not self._profiling and self.iter == 10:
+            jax.profiler.start_trace(self._profile_dir)
+            self._profiling = True
+        elif self._profiling and self.iter >= 10 + self._profile_steps:
+            jax.profiler.stop_trace()
+            self._profiling = False
+            self._profile_dir = ""
+            print(f"[Trainer] profiler trace written")
+
+    def _point_cloud_scatter(self) -> None:
+        """3-D scatter of the learnable point cloud colored by the
+        visibility counter (reference `trainer.py:344-372`); needs
+        matplotlib, skipped silently without it."""
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except ImportError:
+            return
+        if "point_dist" not in self.params:
+            return
+        pts = np.asarray(self.statics["point_base"]
+                         + self.params["point_dist"])
+        counter = np.asarray(self.state.get(
+            "point_counter", np.zeros(len(pts))))
+        fig = plt.figure()
+        ax = fig.add_subplot(projection="3d")
+        ax.scatter(pts[:, 0], pts[:, 1], pts[:, 2], c=counter, s=1,
+                   cmap="viridis")
+        fig.savefig(os.path.join(self.logdir,
+                                 f"points_{self.iter:06d}.jpg"), dpi=80)
+        plt.close(fig)
+
     def progress(self) -> bool:
         """Render the held-out progress frames, tile render|truth pairs,
         detect empty renders (`trainer.py:301-392`)."""
@@ -238,6 +299,8 @@ class Trainer:
         tiled = tile_images(images)
         save_image(tiled, os.path.join(
             self.logdir, f"prog_{self.iter:06d}.jpg"))
+        if self.network.is_occnerf_mlp:
+            self._point_cloud_scatter()
 
         if is_empty_img:
             print("Produces empty images.")
