@@ -175,6 +175,15 @@ class Dataset:
             "joints": skel["joints"],
         })
 
+        if cfg.get("include_img", False):
+            # ImageNet-normalized CHW image + alpha (reference
+            # `train.py:400-404`; produced but unconsumed downstream —
+            # emitted for item-contract parity)
+            mean = np.array([0.485, 0.456, 0.406], np.float32)
+            std = np.array([0.229, 0.224, 0.225], np.float32)
+            results["img"] = ((img - mean) / std).transpose(2, 0, 1)
+            results["alpha"] = alpha.astype(np.float32)
+
         if "verts" in self.keyfilter:
             if self._smpl is None:
                 from ..smpl.model import SMPL

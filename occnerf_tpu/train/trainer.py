@@ -34,7 +34,8 @@ from .optimizer import get_optimizer
 
 EXCLUDE_KEYS_TO_GPU = ["frame_name", "img_width", "img_height", "idx",
                        "time", "ray_mask", "n_valid_rays", "patch_xy",
-                       "Rh", "Th", "joints", "poses", "betas", "verts"]
+                       "Rh", "Th", "joints", "poses", "betas", "verts",
+                       "img", "alpha"]
 
 PROGRESS_EXTRA_ITERS = (20, 100, 300, 1000, 2500)
 
