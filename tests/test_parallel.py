@@ -1,0 +1,144 @@
+"""Mesh/sharding tests on the virtual 8-device CPU mesh.
+
+SURVEY.md §4(d): the sharded ray axis must produce the same numbers as the
+single-device run — XLA makes this testable without real chips.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from occnerf_tpu.config import get_default_cfg, set_cfg
+
+
+@pytest.fixture(autouse=True)
+def _cfg():
+    set_cfg(get_default_cfg())
+
+
+def test_make_mesh_all_devices():
+    from occnerf_tpu.parallel import make_mesh
+    mesh = make_mesh()
+    assert mesh.devices.size == len(jax.devices())
+    assert mesh.axis_names == ("data",)
+
+
+def test_batch_shardings_layout():
+    from occnerf_tpu.parallel import batch_shardings, make_mesh
+    mesh = make_mesh()
+    batch = {
+        "rays": np.zeros((2, 64, 3), np.float32),
+        "near": np.zeros((64, 1), np.float32),
+        "ray_valid": np.zeros((64,), np.float32),
+        "dst_Rs": np.zeros((24, 3, 3), np.float32),
+        "bgcolor": np.zeros((3,), np.float32),
+    }
+    sh = batch_shardings(mesh, batch)
+    assert sh["rays"].spec == jax.sharding.PartitionSpec(None, "data", None)
+    assert sh["near"].spec == jax.sharding.PartitionSpec("data", None)
+    assert sh["ray_valid"].spec == jax.sharding.PartitionSpec("data")
+    assert sh["dst_Rs"].spec == jax.sharding.PartitionSpec()
+
+
+def test_sharded_forward_matches_single_device():
+    """A per-ray computation with a counter scatter (the network's
+    communication pattern) gives identical results sharded vs not."""
+    from occnerf_tpu.parallel import make_mesh, replicated, shard_batch
+    n_dev = len(jax.devices())
+    if n_dev < 2:
+        pytest.skip("needs the virtual multi-device mesh")
+
+    mesh = make_mesh()
+    rng = np.random.default_rng(0)
+    N, V = 128, 40
+    batch = {
+        "rays": rng.normal(size=(2, N, 3)).astype(np.float32),
+        "near": rng.uniform(0.1, 0.5, (N, 1)).astype(np.float32),
+        "ray_valid": (rng.random(N) > 0.3).astype(np.float32),
+        "bgcolor": np.array([10.0, 20.0, 30.0], np.float32),
+    }
+    w = rng.normal(size=(3, V)).astype(np.float32)
+
+    def fwd(w, batch):
+        o, d = batch["rays"][0], batch["rays"][1]
+        feat = (o + d * batch["near"]) @ w            # (N, V)
+        idx = jnp.argmax(feat, axis=1)                # per-ray vertex pick
+        counter = jnp.zeros((V,), jnp.float32).at[idx].add(
+            batch["ray_valid"])
+        return feat * batch["ray_valid"][:, None], counter
+
+    ref_feat, ref_counter = jax.jit(fwd)(w, jax.tree.map(jnp.asarray,
+                                                         batch))
+
+    with mesh:
+        sbatch = shard_batch(mesh, batch)
+        sw = replicated(mesh, jnp.asarray(w))
+        sh_feat, sh_counter = jax.jit(fwd)(sw, sbatch)
+
+    np.testing.assert_allclose(np.asarray(sh_feat), np.asarray(ref_feat),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sh_counter),
+                               np.asarray(ref_counter), atol=1e-6)
+
+
+def test_network_forward_sharded_equals_single():
+    """The real network forward on an 8-way sharded ray axis matches the
+    unsharded result."""
+    import dataclasses
+
+    from occnerf_tpu.models.network import Network, NetworkConfig
+    from occnerf_tpu.parallel import make_mesh, replicated, shard_batch
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the virtual multi-device mesh")
+
+    rng = np.random.default_rng(0)
+    nc = dataclasses.replace(
+        NetworkConfig.from_cfg(),
+        canonical_module="core.nets.occnerf.canonical_mlps.mlp_rgb_sigma",
+        cnl_mlp_depth=2, cnl_mlp_width=32, n_samples=4,
+        mweight_module="self_vol", mweight_volume_size=8)
+    net = Network(nc)
+    verts = rng.normal(0, 0.2, (64, 3)).astype(np.float32)
+    joints = rng.normal(0, 0.3, (24, 3)).astype(np.float32)
+    faces = rng.integers(0, 64, (100, 3)).astype(np.int32)
+    statics = net.generate_neural_points(verts, joints, faces)
+    params, state = net.init(jax.random.PRNGKey(0), statics)
+
+    N = 64
+    batch = {
+        "rays": rng.normal(size=(2, N, 3)).astype(np.float32),
+        "near": np.full((N, 1), 0.1, np.float32),
+        "far": np.full((N, 1), 2.0, np.float32),
+        "ray_valid": np.ones((N,), np.float32),
+        "dst_Rs": np.tile(np.eye(3, dtype=np.float32), (24, 1, 1)),
+        "dst_Ts": np.zeros((24, 3), np.float32),
+        "cnl_gtfms": np.tile(np.eye(4, dtype=np.float32), (24, 1, 1)),
+        "motion_weights_priors":
+            rng.uniform(0.01, 1, (25, 8, 8, 8)).astype(np.float32),
+        "dst_posevec": np.full((69,), 0.01, np.float32),
+        "cnl_bbox_min_xyz": np.array([-1, -1, -1], np.float32),
+        "cnl_bbox_scale_xyz": np.array([1, 1, 1], np.float32),
+        "bgcolor": np.array([255.0, 255.0, 255.0], np.float32),
+    }
+
+    def fwd(params, state, batch):
+        out, _ = net.forward(params, statics, state, batch, 1.0,
+                             training=False, perturb=0.0)
+        return out["rgb"], out["alpha"]
+
+    ref_rgb, ref_alpha = jax.jit(fwd)(
+        params, state, jax.tree.map(jnp.asarray, batch))
+
+    mesh = make_mesh()
+    with mesh:
+        sbatch = shard_batch(mesh, batch)
+        sparams = replicated(mesh, params)
+        sstate = replicated(mesh, state)
+        rgb, alpha = jax.jit(fwd)(sparams, sstate, sbatch)
+
+    np.testing.assert_allclose(np.asarray(rgb), np.asarray(ref_rgb),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(alpha), np.asarray(ref_alpha),
+                               atol=1e-5)
