@@ -87,6 +87,10 @@ _alias("non_rigid_motion_mlp",
        ["core.nets.occnerf.non_rigid_motion_mlps.mlp_offset",
         "occnerf_tpu.models.nonrigid.mlp_offset"],
        "occnerf_tpu.models.nonrigid:NonRigidMotionMLP")
+_alias("non_rigid_motion_mlp",
+       ["core.nets.occnerf.non_rigid_motion_mlps.point_offset",
+        "occnerf_tpu.models.nonrigid.point_offset"],
+       "occnerf_tpu.models.nonrigid:PointOffsetMLP")
 
 _alias("pose_decoder",
        ["core.nets.occnerf.pose_decoders.mlp_delta_body_pose",

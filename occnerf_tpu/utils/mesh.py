@@ -37,6 +37,28 @@ def vertex_normals(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
     return vn.astype(np.float32)
 
 
+def estimate_pointcloud_normals(points: np.ndarray,
+                                neighborhood_size: int = 10) -> np.ndarray:
+    """PCA normals of a raw point cloud (no mesh).
+
+    Equivalent of the pytorch3d ``estimate_pointcloud_normals`` the
+    reference imports (`core/nets/occnerf/network.py:25,162`) but only
+    exercises marginally (the active path uses mesh vertex normals): the
+    normal of each point is the smallest-eigenvalue eigenvector of its
+    k-neighborhood covariance.  Sign is left unoriented, like pytorch3d.
+    """
+    points = np.asarray(points, dtype=np.float64)
+    n = points.shape[0]
+    k = min(neighborhood_size, n)
+    d2 = ((points[:, None, :] - points[None, :, :]) ** 2).sum(-1)
+    idx = np.argpartition(d2, k - 1, axis=1)[:, :k]
+    neigh = points[idx]                                  # (N, k, 3)
+    centered = neigh - neigh.mean(axis=1, keepdims=True)
+    cov = np.einsum("nki,nkj->nij", centered, centered) / k
+    _, vecs = np.linalg.eigh(cov)                        # ascending eigvals
+    return vecs[:, :, 0].astype(np.float32)
+
+
 def farthest_point_sampling(points: np.ndarray, ratio: float | None = None,
                             n_samples: int | None = None,
                             start_idx: int = 0) -> np.ndarray:

@@ -217,3 +217,13 @@ def test_smpl_accepts_rotation_matrices(smpl, rng):
     v_aa, _ = smpl(pose, np.zeros(10))
     v_R, _ = smpl(R, np.zeros(10))
     np.testing.assert_allclose(v_aa, v_R, atol=1e-3)
+
+
+def test_estimate_pointcloud_normals_plane():
+    from occnerf_tpu.utils.mesh import estimate_pointcloud_normals
+    rng = np.random.default_rng(0)
+    pts = np.zeros((60, 3), np.float32)
+    pts[:, :2] = rng.normal(0, 1.0, (60, 2))       # z = 0 plane
+    normals = estimate_pointcloud_normals(pts, neighborhood_size=8)
+    # unoriented: |n_z| ~ 1
+    assert np.all(np.abs(np.abs(normals[:, 2]) - 1.0) < 1e-4)
