@@ -171,26 +171,35 @@ def _bwd_f_kernel(fx_ref, fy_ref, fz_ref, g_ref, tbl_ref,
               - (lane == x0i) * jnp.where(x0_ok, 1.0, 0.0))
     dfx = g * jnp.sum(A * dW_dtx, axis=1, keepdims=True)
 
-    # per-corner x-lerped values v_c = (T[row_c] * W).sum(lanes)
+    # coordinate grads via DIFFERENCE selectors — one matmul each instead
+    # of four per-corner extractions:
+    #   dval/dty = (1-tz)(v01 - v00) + tz(v11 - v10)
+    #   dval/dtz = (1-ty)(v10 - v00) + ty(v11 - v01)
+    # with v_c = (onehot(r_c) @ T * W).sum(lanes) and per-corner OOB masks
+    # folded into the selector weights.
     row = jax.lax.broadcasted_iota(jnp.int32, (fx.shape[0], ROWS), 1)
-    vals = []
-    for r_idx, _w in corners:
-        sel = (row == r_idx).astype(jnp.float32)     # one-hot rows
-        Ac = jnp.dot(sel, tbl, preferred_element_type=jnp.float32)
-        vals.append(jnp.sum(Ac * W, axis=1, keepdims=True))
-    v00, v01, v10, v11 = vals                        # (z,y) = (0,0)..(1,1)
 
     def ok(c):
         return ((c >= 0) & (c <= D - 1)).astype(jnp.float32)
     m_z0, m_z1 = ok(z0f), ok(z0f + 1)
     m_y0, m_y1 = ok(y0f), ok(y0f + 1)
-    v00 = v00 * m_z0 * m_y0
-    v01 = v01 * m_z0 * m_y1
-    v10 = v10 * m_z1 * m_y0
-    v11 = v11 * m_z1 * m_y1
-    # val = (1-tz)[(1-ty)v00 + ty v01] + tz[(1-ty)v10 + ty v11]
-    dfy = g * ((1 - tz) * (v01 - v00) + tz * (v11 - v10))
-    dfz = g * ((1 - ty) * (v10 - v00) + ty * (v11 - v01))
+    (r00, _), (r01, _), (r10, _), (r11, _) = corners
+
+    def sel(r_idx):
+        return (row == r_idx).astype(jnp.float32)
+
+    S_y = ((sel(r01) * (m_z0 * m_y1) - sel(r00) * (m_z0 * m_y0))
+           * (1.0 - tz)
+           + (sel(r11) * (m_z1 * m_y1) - sel(r10) * (m_z1 * m_y0)) * tz)
+    S_z = ((sel(r10) * (m_z1 * m_y0) - sel(r00) * (m_z0 * m_y0))
+           * (1.0 - ty)
+           + (sel(r11) * (m_z1 * m_y1) - sel(r01) * (m_z0 * m_y1)) * ty)
+    dfy = g * jnp.sum(
+        jnp.dot(S_y, tbl, preferred_element_type=jnp.float32) * W,
+        axis=1, keepdims=True)
+    dfz = g * jnp.sum(
+        jnp.dot(S_z, tbl, preferred_element_type=jnp.float32) * W,
+        axis=1, keepdims=True)
 
     @pl.when(b == 0)
     def _():
