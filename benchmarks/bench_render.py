@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Render throughput benchmark: rays/sec at the t-pose camera geometry.
+
+The BASELINE.json north-star's second metric: inference rays/sec/chip at a
+512x512 render (the tpose camera, `core/data/occnerf/tpose.py:22-25`),
+flagship OccNeRF MLP, no gradients.
+
+Usage: python benchmarks/bench_render.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                os.pardir))
+
+import numpy as np  # noqa: E402
+
+
+def main() -> None:
+    import jax
+
+    from occnerf_tpu.config import get_default_cfg, set_cfg
+    from occnerf_tpu.data.synthetic import make_synthetic_subject
+
+    tmp = tempfile.mkdtemp()
+    subject_path = os.path.join(tmp, "subject")
+    make_synthetic_subject(subject_path, n_frames=2, img_size=512,
+                           n_verts=1024, seed=0)
+
+    c = get_default_cfg()
+    c.synthetic_dataset_path = subject_path
+    c.canonical_mlp.module = "core.nets.occnerf.canonical_mlps.occnerf_mlp"
+    c.canonical_mlp.mlp_depth = 4
+    c.canonical_mlp.log2_hashmap_size = 14
+    c.logdir = os.path.join(tmp, "logs")
+    set_cfg(c)
+
+    from occnerf_tpu.app import build_model
+    from occnerf_tpu.data import create_dataset
+    from occnerf_tpu.train.trainer import _device_batch
+
+    ds = create_dataset("tpose")
+    network, statics, params, state = build_model(ds.subject)
+
+    batch = ds[0]
+    n_rays = batch["rays"].shape[1]
+
+    @jax.jit
+    def render(params, state, batch):
+        out, _ = network.forward(params, statics, state, batch, 1e7,
+                                 training=False, perturb=0.0,
+                                 ignore_non_rigid=True)
+        return out["rgb"]
+
+    dbatch = _device_batch(batch)
+    rgb = render(params, state, dbatch)
+    _ = float(rgb[0, 0])  # force completion (block_until_ready lies here)
+
+    times = []
+    for _i in range(5):
+        t0 = time.time()
+        rgb = render(params, state, dbatch)
+        _ = float(rgb[123, 1])
+        times.append(time.time() - t0)
+    dt = float(np.median(times))
+    print(f"render {n_rays} rays x {c.N_samples} samples: "
+          f"{dt * 1000:.0f} ms -> {n_rays / dt:.0f} rays/s/chip "
+          f"(512x512 tpose camera, occnerf MLP)")
+
+
+if __name__ == "__main__":
+    main()

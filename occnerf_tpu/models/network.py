@@ -401,8 +401,14 @@ class Network:
             ray_valid = jnp.ones((rays_o.shape[0],), jnp.float32)
         bgcolor = batch["bgcolor"]
         N = rays_o.shape[0]
-        chunk = chunk or (self.cfg.train_chunk if training and
-                          self.is_occnerf_mlp else self.cfg.chunk)
+        if chunk is None:
+            if self.is_occnerf_mlp:
+                # the per-sample KNN feature tensor (N*S, 4k, 35) lane-pads
+                # 35 -> 128 on TPU: big eval chunks blow HBM
+                chunk = self.cfg.train_chunk if training else min(
+                    self.cfg.chunk, 2 * self.cfg.train_chunk)
+            else:
+                chunk = self.cfg.chunk
 
         kwargs = dict(
             iter_val=iter_val, non_rigid_input=non_rigid_input,
