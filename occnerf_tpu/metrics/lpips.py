@@ -24,7 +24,7 @@ XLA maps these straight onto the MXU.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Sequence
+from typing import Dict, List
 
 import numpy as np
 import jax

@@ -38,7 +38,6 @@ from ..utils.mesh import multiscale_fps_indices, vertex_normals
 from .canonical import OccNeRFCanonicalMLP, VanillaCanonicalMLP, \
     _cosine_similarity
 from .embedders import fourier_embed, fourier_out_dim, hannw_fourier_embed
-from .layers import rodrigues_device
 from .motion import motion_basis
 from .mweight import DeconvVolumeDecoder, SelfVolumeDecoder
 from .nonrigid import NonRigidMotionMLP

@@ -10,7 +10,7 @@ the same pieces directly (`occnerf_tpu/models/network.py`).
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 import jax

@@ -28,9 +28,7 @@ encode (V=6890), which does need input grads, stays on the XLA path.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

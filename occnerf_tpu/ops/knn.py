@@ -12,8 +12,7 @@ compare distances, not indices (SURVEY.md hard-part #5).
 
 from __future__ import annotations
 
-import functools
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

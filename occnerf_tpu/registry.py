@@ -15,7 +15,7 @@ configs work verbatim.
 from __future__ import annotations
 
 import importlib
-from typing import Any, Callable, Dict
+from typing import Any, Dict
 
 _REGISTRY: Dict[str, Dict[str, str]] = {}
 

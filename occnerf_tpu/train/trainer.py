@@ -17,7 +17,6 @@ Behavioral equivalent of the reference Trainer
 from __future__ import annotations
 
 import os
-import time
 from typing import Any, Dict, Optional
 
 import numpy as np

@@ -12,8 +12,6 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from .body import rodrigues
-
 
 def _exact_rodrigues(rvec: np.ndarray) -> np.ndarray:
     """cv2.Rodrigues-equivalent axis-angle -> R (exact, no eps in axis)."""

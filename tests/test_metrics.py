@@ -2,7 +2,6 @@
 
 import numpy as np
 import jax
-import pytest
 
 from occnerf_tpu.metrics import (LPIPS, completeness_iou, psnr_metric,
                                  structural_similarity)

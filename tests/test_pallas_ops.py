@@ -7,7 +7,6 @@ replaces — values and gradients (SURVEY.md §4(b)).
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
 
 def test_motion_pallas_matches_xla_fwd_and_grads():

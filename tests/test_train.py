@@ -1,8 +1,6 @@
 """Training-stack tests: optimizer groups, LR schedule, checkpoints,
 one full train step (vanilla + occnerf MLP), resume round trip."""
 
-import os
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -13,8 +13,7 @@ import yaml
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from occnerf_tpu.smpl.model import SMPL  # noqa: E402
-from occnerf_tpu.utils.image import load_image, save_image, \
-    to_3ch_image  # noqa: E402
+from occnerf_tpu.utils.image import load_image  # noqa: E402
 
 
 def load_yaml(path: str) -> dict:

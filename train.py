@@ -9,7 +9,7 @@ Same CLI surface as the reference (`train.py`):
 
 from __future__ import annotations
 
-from occnerf_tpu.config import cfg, make_cfg, parse_args
+from occnerf_tpu.config import make_cfg, parse_args
 from occnerf_tpu.utils.platform import ensure_platform
 
 
