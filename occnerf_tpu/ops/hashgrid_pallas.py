@@ -40,6 +40,11 @@ LANES = 128
 Q_BLK = 512
 MAX_LOG2 = 15          # one-hot matmul viable up to 2^15-entry tables
 
+# matmul input dtype: float32 (exact vs the XLA path) or bfloat16
+# (~0.4% feature rounding, ~2x MXU).  Set BEFORE the first jit trace, e.g.
+# via occnerf_tpu.ops.set_compute_dtype.
+COMPUTE_DTYPE = jnp.float32
+
 
 def supports(spec: HashGridSpec) -> bool:
     """Kernel handles specs whose every level hashes into the same
@@ -152,22 +157,30 @@ def _build_fwd_kernel(spec: HashGridSpec, E: int, n_rows: int):
             grids, fracs = _grids_fracs(x_cols, spec, lvl)
             tbl = tbl_ref[lvl]
 
-            def body(ci, acc, grids=grids, fracs=fracs):
+            UNROLL = 4
+
+            def body(cg, acc, grids=grids, fracs=fracs):
                 acc0, acc1 = acc
-                h, w = _corner_hw(ci, grids, fracs, primes, E)
-                row = h // 64
-                lp = (h % 64) * 2
-                onehot = (row_iota == row).astype(jnp.float32)
-                A = jnp.dot(onehot, tbl,
-                            preferred_element_type=jnp.float32)
-                f0 = jnp.sum(jnp.where(lane_iota == lp, A, 0.0), axis=1,
-                             keepdims=True)
-                f1 = jnp.sum(jnp.where(lane_iota == lp + 1, A, 0.0),
-                             axis=1, keepdims=True)
-                return acc0 + w * f0, acc1 + w * f1
+                # UNROLL corners per iteration: the fori overhead dominates
+                # at 2^D x L x n_blocks iterations otherwise
+                for u in range(UNROLL):
+                    ci = cg * UNROLL + u
+                    h, w = _corner_hw(ci, grids, fracs, primes, E)
+                    row = h // 64
+                    lp = (h % 64) * 2
+                    onehot = (row_iota == row).astype(COMPUTE_DTYPE)
+                    A = jnp.dot(onehot, tbl.astype(COMPUTE_DTYPE),
+                                preferred_element_type=jnp.float32)
+                    f0 = jnp.sum(jnp.where(lane_iota == lp, A, 0.0),
+                                 axis=1, keepdims=True)
+                    f1 = jnp.sum(jnp.where(lane_iota == lp + 1, A, 0.0),
+                                 axis=1, keepdims=True)
+                    acc0 = acc0 + w * f0
+                    acc1 = acc1 + w * f1
+                return acc0, acc1
 
             acc0, acc1 = jax.lax.fori_loop(
-                0, n_corners, body,
+                0, n_corners // UNROLL, body,
                 (jnp.zeros((q, 1), jnp.float32),
                  jnp.zeros((q, 1), jnp.float32)))
             feats.append(acc0 * ok)
@@ -213,11 +226,12 @@ def _build_bwd_kernel(spec: HashGridSpec, E: int, n_rows: int):
                 h, w = _corner_hw(ci, grids, fracs, primes, E)
                 row = h // 64
                 lp = (h % 64) * 2
-                onehot = (row_iota == row).astype(jnp.float32)
+                onehot = (row_iota == row).astype(COMPUTE_DTYPE)
                 # dA (q, 128): per-query update row, both feature lanes
                 dA = (jnp.where(lane_iota == lp, w * g0, 0.0)
                       + jnp.where(lane_iota == lp + 1, w * g1, 0.0))
-                return dlvl + jnp.dot(onehot.T, dA,
+                return dlvl + jnp.dot(onehot.T,
+                                      dA.astype(COMPUTE_DTYPE),
                                       preferred_element_type=jnp.float32)
 
             dtbl_ref[lvl] += jax.lax.fori_loop(

@@ -40,6 +40,9 @@ ROWS = D * D           # 1024
 LANES = 128
 Q_BLK = 512            # queries per grid step
 
+# matmul input dtype (see hashgrid_pallas.COMPUTE_DTYPE)
+COMPUTE_DTYPE = jnp.float32
+
 
 def _interpret() -> bool:
     """Run in interpreter mode off-TPU (CPU tests / virtual meshes)."""
@@ -110,7 +113,9 @@ def _fwd_kernel(fx_ref, fy_ref, fz_ref, tbl_ref, out_ref):
 
     corners, x0f, tx, *_ = _corner_terms(fx, fy, fz)
     F = _fourhot(corners)                            # (Q, 1024)
-    A = jnp.dot(F, tbl_ref[0], preferred_element_type=jnp.float32)
+    A = jnp.dot(F.astype(COMPUTE_DTYPE),
+                tbl_ref[0].astype(COMPUTE_DTYPE),
+                preferred_element_type=jnp.float32)
     W = _xmask(x0f, tx)                              # (Q, 128)
     val = jnp.sum(A * W, axis=1, keepdims=True)      # (Q, 1)
 
@@ -141,7 +146,9 @@ def _bwd_tbl_kernel(fx_ref, fy_ref, fz_ref, g_ref, dtbl_ref):
     F = _fourhot(corners)
     W = _xmask(x0f, tx)
     dA = g * W                                       # (Q, 128)
-    dtbl_ref[0] += jnp.dot(F.T, dA, preferred_element_type=jnp.float32)
+    dtbl_ref[0] += jnp.dot(F.T.astype(COMPUTE_DTYPE),
+                           dA.astype(COMPUTE_DTYPE),
+                           preferred_element_type=jnp.float32)
 
 
 def _bwd_f_kernel(fx_ref, fy_ref, fz_ref, g_ref, tbl_ref,
@@ -158,7 +165,8 @@ def _bwd_f_kernel(fx_ref, fy_ref, fz_ref, g_ref, tbl_ref,
 
     corners, x0f, tx, ty, tz, y0f, z0f = _corner_terms(fx, fy, fz)
     F = _fourhot(corners)
-    A = jnp.dot(F, tbl, preferred_element_type=jnp.float32)  # (Q,128)
+    A = jnp.dot(F.astype(COMPUTE_DTYPE), tbl.astype(COMPUTE_DTYPE),
+                preferred_element_type=jnp.float32)          # (Q,128)
     W = _xmask(x0f, tx)
 
     # dtx: d/dtx of the two-hot = (at x1) - (at x0)
@@ -194,11 +202,14 @@ def _bwd_f_kernel(fx_ref, fy_ref, fz_ref, g_ref, tbl_ref,
     S_z = ((sel(r10) * (m_z1 * m_y0) - sel(r00) * (m_z0 * m_y0))
            * (1.0 - ty)
            + (sel(r11) * (m_z1 * m_y1) - sel(r01) * (m_z0 * m_y1)) * ty)
+    tbl_c = tbl.astype(COMPUTE_DTYPE)
     dfy = g * jnp.sum(
-        jnp.dot(S_y, tbl, preferred_element_type=jnp.float32) * W,
+        jnp.dot(S_y.astype(COMPUTE_DTYPE), tbl_c,
+                preferred_element_type=jnp.float32) * W,
         axis=1, keepdims=True)
     dfz = g * jnp.sum(
-        jnp.dot(S_z, tbl, preferred_element_type=jnp.float32) * W,
+        jnp.dot(S_z.astype(COMPUTE_DTYPE), tbl_c,
+                preferred_element_type=jnp.float32) * W,
         axis=1, keepdims=True)
 
     @pl.when(b == 0)
