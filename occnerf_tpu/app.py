@@ -50,6 +50,14 @@ def build_model(subject, dataset_path: Optional[str] = None,
     key = jax.random.PRNGKey(
         cfg.get("tpu", {}).get("seed", 42) if seed is None else seed)
     params, state = network.init(key, statics)
+
+    # self_vol decoder starts from the Gaussian bone prior: matrix =
+    # log(prior) so softmax(matrix) == prior (reference train.py:29-31;
+    # run/eval seed the same way before loading a checkpoint)
+    if "matrix" in params.get("mweight_vol_decoder", {}):
+        import jax.numpy as jnp
+        params["mweight_vol_decoder"]["matrix"] = jnp.log(jnp.asarray(
+            np.clip(subject.motion_weights_priors, 1e-12, None)))
     return network, statics, params, state
 
 

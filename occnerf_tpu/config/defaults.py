@@ -182,6 +182,7 @@ def get_default_cfg() -> CfgNode:
         param_dtype="float32",
         compute_dtype="float32",    # bfloat16 optionally for MLP interiors
         knn_backend="approx",       # 'approx' (lax.approx_max_k) | 'exact'
+        knn_recall=0.95,            # approx_max_k recall target
         hashgrid_backend="xla",     # 'xla' gather | 'pallas'
         eval_ray_bucket=8192,       # rays padded to a multiple of this at eval
         prefetch=2,                 # host->device prefetch depth

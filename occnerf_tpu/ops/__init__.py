@@ -14,3 +14,10 @@ def set_compute_dtype(dtype) -> None:
     dt = jnp.bfloat16 if str(dtype) in ("bfloat16", "bf16") else jnp.float32
     hashgrid_pallas.COMPUTE_DTYPE = dt
     motion_pallas.COMPUTE_DTYPE = dt
+
+
+def set_knn_recall(recall: float) -> None:
+    """Set the approx-KNN recall target (default 0.95; 0.85 is ~30%
+    faster with negligible downstream effect).  Set before jit tracing."""
+    from . import knn as _knn
+    _knn.APPROX_RECALL = float(recall)

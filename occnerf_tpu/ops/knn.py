@@ -18,9 +18,17 @@ import jax
 import jax.numpy as jnp
 
 
+# recall target for the 'approx' backend (lax.approx_max_k partial
+# reduction).  0.95 is the jax default; 0.85 is ~30% faster on v5e with
+# negligible effect on the normal-weighted aggregates downstream (ties are
+# distance-compared, SURVEY.md hard-part #5).
+APPROX_RECALL = 0.95
+
+
 def _topk_neg_dist(neg_d2: jnp.ndarray, k: int, backend: str):
     if backend == "approx":
-        vals, idx = jax.lax.approx_max_k(neg_d2, k=k)
+        vals, idx = jax.lax.approx_max_k(neg_d2, k=k,
+                                         recall_target=APPROX_RECALL)
     else:
         vals, idx = jax.lax.top_k(neg_d2, k=k)
     return vals, idx

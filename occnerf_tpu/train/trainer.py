@@ -47,9 +47,10 @@ def _device_batch(batch: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
 class Trainer:
     def __init__(self, network, statics, params, state,
                  progress_loader=None):
-        from ..ops import set_compute_dtype
+        from ..ops import set_compute_dtype, set_knn_recall
         set_compute_dtype(cfg.get("tpu", {}).get("compute_dtype",
                                                  "float32"))
+        set_knn_recall(cfg.get("tpu", {}).get("knn_recall", 0.95))
         self.network = network
         self.statics = statics
         self.params = params
