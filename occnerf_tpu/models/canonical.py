@@ -136,7 +136,7 @@ class OccNeRFCanonicalMLP:
         return agg.reshape(agg.shape[0], -1), var
 
     def apply(self, params, xyz: jnp.ndarray, knn_points: jnp.ndarray,
-              point_norms: jnp.ndarray, knn_att: jnp.ndarray,
+              point_norms: jnp.ndarray, knn_att_per_vertex: jnp.ndarray,
               surface_points: jnp.ndarray, point_sdf: jnp.ndarray,
               knn_idxs: jnp.ndarray, learnable_points: jnp.ndarray,
               **_):
@@ -168,14 +168,20 @@ class OccNeRFCanonicalMLP:
 
         # per-vertex features: encode (surface aggregate, sdf), append the
         # learnable points, gather the 4x10 neighbourhood
-        # (occnerf_mlp.py:171-178)
+        # (occnerf_mlp.py:171-178).  The visibility counter rides the same
+        # gather as lane 0 — scalar gathers cost ~70 ms/chunk on TPU and
+        # the indices are identical.
         pc_n = (surface_points + self.bound) / (2 * self.bound)
         sdf_n = jnp.clip((point_sdf + 0.2) / 0.8, 0.0, 1.0)
         vert_feat = hash_grid_encode(
             jnp.concatenate([pc_n, sdf_n], axis=-1),
             params["encoder"], self.spec)                        # (V, 32)
-        vert_feat = jnp.concatenate([vert_feat, learnable_points], axis=-1)
-        knn_feats = vert_feat[knn_idxs.reshape(N, -1)]           # (N, 4k, 35)
+        vert_feat = jnp.concatenate(
+            [knn_att_per_vertex[:, None], vert_feat, learnable_points],
+            axis=-1)
+        gathered = vert_feat[knn_idxs.reshape(N, -1)]            # (N,4k,36)
+        knn_att = jax.lax.stop_gradient(gathered[..., :1])
+        knn_feats = gathered[..., 1:]                            # (N,4k,35)
 
         agg, var = self.simple_agg(knn_att, knn_feats)           # (N,35),(N,1)
 

@@ -291,14 +291,13 @@ class Network:
             "knn_idx")                                          # (N, 4, k)
         counter = jax.lax.stop_gradient(state["point_counter"])
         N = xyz.shape[0]
-        knn_att = counter[idx.reshape(N, -1)][..., None]        # (N, 4k, 1)
         point_norms = statics["point_norms"][idx[:, 0]]         # (N, k, 3)
         knn_points = statics["point_base"][idx[:, 0]]           # (N, k, 3)
 
         point_cloud, surface, sdf = vertex_quant
         raws = self.cnl_mlp.apply(
             params["cnl_mlp"], xyz=xyz, knn_points=knn_points,
-            point_norms=point_norms, knn_att=knn_att,
+            point_norms=point_norms, knn_att_per_vertex=counter,
             surface_points=surface, point_sdf=sdf, knn_idxs=idx,
             learnable_points=point_cloud)
         return raws, xyz

@@ -134,8 +134,8 @@ def test_occnerf_canonical_mlp_shapes(rng):
         xyz=jnp.asarray(rng.normal(size=(N, 3)).astype(np.float32)),
         knn_points=jnp.asarray(rng.normal(size=(N, k, 3)).astype(np.float32)),
         point_norms=jnp.asarray(rng.normal(size=(N, k, 3)).astype(np.float32)),
-        knn_att=jnp.asarray(np.abs(rng.normal(size=(N, 4 * k, 1))
-                                   ).astype(np.float32) + 1),
+        knn_att_per_vertex=jnp.asarray(
+            np.abs(rng.normal(size=(V,))).astype(np.float32) + 1),
         surface_points=jnp.asarray(rng.normal(size=(V, 3)).astype(np.float32)),
         point_sdf=jnp.asarray(rng.normal(size=(V, 1)).astype(np.float32)),
         knn_idxs=jnp.asarray(rng.integers(0, V, (N, 4, k)).astype(np.int32)),
