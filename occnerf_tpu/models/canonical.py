@@ -139,7 +139,10 @@ class OccNeRFCanonicalMLP:
               point_norms: jnp.ndarray, knn_att_per_vertex: jnp.ndarray,
               surface_points: jnp.ndarray, point_sdf: jnp.ndarray,
               knn_idxs: jnp.ndarray, learnable_points: jnp.ndarray,
-              **_):
+              concat_map: jnp.ndarray | None = None, **_):
+        """``knn_idxs`` address either the base cloud (concat_map=None) or
+        the concatenated [base; FPS levels] cloud (concat_map maps
+        concatenated rows to base indices)."""
         N, k = knn_idxs.shape[0], knn_idxs.shape[2]
 
         # inside/outside + distance from the k-NN cloud (no-grad block,
@@ -179,6 +182,10 @@ class OccNeRFCanonicalMLP:
         vert_feat = jnp.concatenate(
             [knn_att_per_vertex[:, None], vert_feat, learnable_points],
             axis=-1)
+        if concat_map is not None:
+            # lift once to the concatenated cloud (~9k rows) instead of
+            # re-indexing all N*4k neighbours
+            vert_feat = vert_feat[concat_map]
         gathered = vert_feat[knn_idxs.reshape(N, -1)]            # (N,4k,36)
         knn_att = jax.lax.stop_gradient(gathered[..., :1])
         knn_feats = gathered[..., 1:]                            # (N,4k,35)

@@ -31,7 +31,7 @@ from jax import ad_checkpoint
 import jax.numpy as jnp
 
 from ..config import cfg as global_cfg
-from ..ops.knn import knn, multiscale_knn
+from ..ops.knn import knn, multiscale_knn_concat
 from ..ops.raymarch import raw2outputs, sample_zvals, stratify_zvals
 from ..ops.trilinear import sample_motion_fields
 from ..utils.mesh import multiscale_fps_indices, vertex_normals
@@ -283,12 +283,12 @@ class Network:
                 pos_embed=fourier_embed(xyz, c.cnl_multires))
             return raws, xyz
 
-        idx = ad_checkpoint.checkpoint_name(
-            multiscale_knn(jax.lax.stop_gradient(xyz),
-                           statics["point_base"],
-                           statics["fps_idx"], c.knn_k,
-                           backend=c.knn_backend),
-            "knn_idx")                                          # (N, 4, k)
+        # indices address the concatenated [base; fps levels] cloud — the
+        # per-neighbour FPS re-index is a 23M scalar gather otherwise
+        idx, concat_map = multiscale_knn_concat(
+            jax.lax.stop_gradient(xyz), statics["point_base"],
+            statics["fps_idx"], c.knn_k, backend=c.knn_backend)
+        idx = ad_checkpoint.checkpoint_name(idx, "knn_idx")     # (N, 4, k)
         counter = jax.lax.stop_gradient(state["point_counter"])
         N = xyz.shape[0]
         point_norms = statics["point_norms"][idx[:, 0]]         # (N, k, 3)
@@ -299,7 +299,7 @@ class Network:
             params["cnl_mlp"], xyz=xyz, knn_points=knn_points,
             point_norms=point_norms, knn_att_per_vertex=counter,
             surface_points=surface, point_sdf=sdf, knn_idxs=idx,
-            learnable_points=point_cloud)
+            learnable_points=point_cloud, concat_map=concat_map)
         return raws, xyz
 
     def _render_chunk(self, params, statics, state, rays_o, rays_d, near,

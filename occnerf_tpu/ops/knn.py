@@ -116,3 +116,39 @@ def multiscale_knn(queries: jnp.ndarray,
         _, idx = knn(queries, sub, k, backend=backend, block=block)
         outs.append(jnp.asarray(fps_idx, jnp.int32)[idx])
     return jnp.stack(outs, axis=1)
+
+
+def multiscale_knn_concat(queries: jnp.ndarray,
+                          base_points: jnp.ndarray,
+                          fps_indices: Sequence[jnp.ndarray],
+                          k: int,
+                          backend: str = "exact",
+                          block: int = 8192
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Multiscale KNN with indices into the CONCATENATED cloud.
+
+    Like :func:`multiscale_knn` but skips the per-neighbour FPS
+    re-indexing (a 23M-element scalar gather per reference-scale step on
+    TPU): returned indices address the virtual concatenation
+    ``[base; base[fps_0]; base[fps_1]; ...]``.  ``concat_map`` maps each
+    concatenated row to its base index, so per-vertex tables are lifted
+    once with one small gather (``table[concat_map]``) instead of
+    re-indexing every neighbour.
+
+    Returns:
+        (indices (N, 1 + levels, k) int32 into the concat cloud,
+         concat_map (V + sum(level sizes),) int32 into base_points)
+    """
+    outs = []
+    offset = 0
+    maps = [jnp.arange(base_points.shape[0], dtype=jnp.int32)]
+    _, idx0 = knn(queries, base_points, k, backend=backend, block=block)
+    outs.append(idx0)
+    offset += base_points.shape[0]
+    for fps_idx in fps_indices:
+        sub = base_points[fps_idx]
+        _, idx = knn(queries, sub, k, backend=backend, block=block)
+        outs.append(idx + offset)
+        maps.append(jnp.asarray(fps_idx, jnp.int32))
+        offset += sub.shape[0]
+    return jnp.stack(outs, axis=1), jnp.concatenate(maps)
