@@ -198,6 +198,9 @@ class Network:
         return {
             "point_base": jnp.asarray(verts, jnp.float32),
             "point_norms": jnp.asarray(normals, jnp.float32),
+            # fused (position, normal) rows: one gather instead of two
+            "base_and_norms": jnp.asarray(
+                np.concatenate([verts, normals], axis=-1), jnp.float32),
             "fps_idx": tuple(jnp.asarray(i, jnp.int32) for i in fps_idx),
             "bound": bound,
             "detailed_bound": jnp.asarray(
@@ -291,8 +294,9 @@ class Network:
         idx = ad_checkpoint.checkpoint_name(idx, "knn_idx")     # (N, 4, k)
         counter = jax.lax.stop_gradient(state["point_counter"])
         N = xyz.shape[0]
-        point_norms = statics["point_norms"][idx[:, 0]]         # (N, k, 3)
-        knn_points = statics["point_base"][idx[:, 0]]           # (N, k, 3)
+        bn = statics["base_and_norms"][idx[:, 0]]               # (N, k, 6)
+        knn_points = bn[..., :3]
+        point_norms = bn[..., 3:]
 
         point_cloud, surface, sdf = vertex_quant
         raws = self.cnl_mlp.apply(
