@@ -44,6 +44,10 @@ def main() -> None:
     c.canonical_mlp.mlp_depth = 4
     c.canonical_mlp.mlp_width = 256
     c.canonical_mlp.log2_hashmap_size = 14
+    # shipped 387 recipe: pose refiner kicked in far past maxiter
+    # (configs/occnerf/zju_mocap/387/occnerf.yaml:32-33)
+    c.pose_decoder.kick_in_iter = 2_000_000
+    c.non_rigid_motion_mlp.kick_in_iter = 100_000
     c.logdir = os.path.join(tmp, "logs")
     c.progress.dump_interval = 10 ** 9
     c.train.save_checkpt_interval = 10 ** 9

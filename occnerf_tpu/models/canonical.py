@@ -135,14 +135,43 @@ class OccNeRFCanonicalMLP:
         agg = jnp.sum(jax.lax.stop_gradient(atts) * feats, axis=1)
         return agg.reshape(agg.shape[0], -1), var
 
+    def vertex_features(self, params, knn_att_per_vertex: jnp.ndarray,
+                        surface_points: jnp.ndarray, point_sdf: jnp.ndarray,
+                        learnable_points: jnp.ndarray,
+                        concat_map: jnp.ndarray | None = None) -> jnp.ndarray:
+        """Per-vertex feature table: visibility counter lane + hash-grid
+        encode of (surface aggregate, sdf) + the learnable point coords
+        (occnerf_mlp.py:171-178).  Depends only on per-step quantities —
+        compute ONCE per forward and share across ray chunks (the encode's
+        scatter-add backward costs ~20 ms per call on TPU).  When
+        ``concat_map`` is given the table is lifted to the concatenated
+        [base; FPS levels] KNN cloud so per-sample gathers need no
+        re-indexing."""
+        pc_n = (surface_points + self.bound) / (2 * self.bound)
+        sdf_n = jnp.clip((point_sdf + 0.2) / 0.8, 0.0, 1.0)
+        vert_feat = hash_grid_encode(
+            jnp.concatenate([pc_n, sdf_n], axis=-1),
+            params["encoder"], self.spec)                        # (V, 32)
+        vert_feat = jnp.concatenate(
+            [knn_att_per_vertex[:, None], vert_feat, learnable_points],
+            axis=-1)
+        if concat_map is not None:
+            vert_feat = vert_feat[concat_map]
+        return vert_feat
+
     def apply(self, params, xyz: jnp.ndarray, knn_points: jnp.ndarray,
-              point_norms: jnp.ndarray, knn_att_per_vertex: jnp.ndarray,
-              surface_points: jnp.ndarray, point_sdf: jnp.ndarray,
-              knn_idxs: jnp.ndarray, learnable_points: jnp.ndarray,
-              concat_map: jnp.ndarray | None = None, **_):
+              point_norms: jnp.ndarray, knn_idxs: jnp.ndarray,
+              knn_att_per_vertex: jnp.ndarray | None = None,
+              surface_points: jnp.ndarray | None = None,
+              point_sdf: jnp.ndarray | None = None,
+              learnable_points: jnp.ndarray | None = None,
+              concat_map: jnp.ndarray | None = None,
+              vert_feat: jnp.ndarray | None = None, **_):
         """``knn_idxs`` address either the base cloud (concat_map=None) or
         the concatenated [base; FPS levels] cloud (concat_map maps
-        concatenated rows to base indices)."""
+        concatenated rows to base indices).  Pass a precomputed
+        ``vert_feat`` (:meth:`vertex_features`) to share the per-vertex
+        table across chunked calls; otherwise it is built here."""
         N, k = knn_idxs.shape[0], knn_idxs.shape[2]
 
         # inside/outside + distance from the k-NN cloud (no-grad block,
@@ -169,23 +198,14 @@ class OccNeRFCanonicalMLP:
                 jnp.concatenate([surf, normed_dist], axis=-1)),
             params["encoder"], self.spec)                        # (N, 32)
 
-        # per-vertex features: encode (surface aggregate, sdf), append the
-        # learnable points, gather the 4x10 neighbourhood
+        # per-vertex features gathered over the 4x10 neighbourhood
         # (occnerf_mlp.py:171-178).  The visibility counter rides the same
         # gather as lane 0 — scalar gathers cost ~70 ms/chunk on TPU and
         # the indices are identical.
-        pc_n = (surface_points + self.bound) / (2 * self.bound)
-        sdf_n = jnp.clip((point_sdf + 0.2) / 0.8, 0.0, 1.0)
-        vert_feat = hash_grid_encode(
-            jnp.concatenate([pc_n, sdf_n], axis=-1),
-            params["encoder"], self.spec)                        # (V, 32)
-        vert_feat = jnp.concatenate(
-            [knn_att_per_vertex[:, None], vert_feat, learnable_points],
-            axis=-1)
-        if concat_map is not None:
-            # lift once to the concatenated cloud (~9k rows) instead of
-            # re-indexing all N*4k neighbours
-            vert_feat = vert_feat[concat_map]
+        if vert_feat is None:
+            vert_feat = self.vertex_features(
+                params, knn_att_per_vertex, surface_points, point_sdf,
+                learnable_points, concat_map)
         gathered = vert_feat[knn_idxs.reshape(N, -1)]            # (N,4k,36)
         knn_att = jax.lax.stop_gradient(gathered[..., :1])
         knn_feats = gathered[..., 1:]                            # (N,4k,35)

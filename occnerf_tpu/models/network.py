@@ -88,6 +88,7 @@ class NetworkConfig:
     pose_mlp_width: int = 256
     pose_mlp_depth: int = 4
     pose_kick_in_iter: int = 0
+    train_maxiter: int = 50_000
 
     @staticmethod
     def from_cfg(c=None) -> "NetworkConfig":
@@ -125,7 +126,18 @@ class NetworkConfig:
             pose_mlp_width=c.pose_decoder.mlp_width,
             pose_mlp_depth=c.pose_decoder.mlp_depth,
             pose_kick_in_iter=c.pose_decoder.get("kick_in_iter", 0),
+            train_maxiter=c.train.maxiter,
         )
+
+    @property
+    def pose_refiner_inert_in_train(self) -> bool:
+        """True when the pose refiner cannot activate within the training
+        schedule (kick_in > maxiter — the shipped configs set 2e6/1e7 vs
+        maxiter 1e5, `configs/occnerf/zju_mocap/387/occnerf.yaml:32-33`).
+        Then the motion basis depends on no trainable parameter and its
+        coordinate gradients are statically zero — stop-gradient lets XLA
+        DCE the coordinate-gradient Pallas kernel from the train step."""
+        return self.pose_kick_in_iter > self.train_maxiter
 
 
 class Network:
@@ -202,6 +214,11 @@ class Network:
             "base_and_norms": jnp.asarray(
                 np.concatenate([verts, normals], axis=-1), jnp.float32),
             "fps_idx": tuple(jnp.asarray(i, jnp.int32) for i in fps_idx),
+            # rows of the concatenated [base; FPS levels] KNN cloud -> base
+            # vertex index (static: FPS runs once at init)
+            "concat_map": jnp.asarray(
+                np.concatenate([np.arange(len(verts))] + list(fps_idx)),
+                jnp.int32),
             "bound": bound,
             "detailed_bound": jnp.asarray(
                 np.stack([min_xyz, max_xyz]), jnp.float32),
@@ -266,7 +283,7 @@ class Network:
 
     def _query_canonical(self, params, statics, state, xyz, iter_val,
                          non_rigid_input, ignore_non_rigid,
-                         vertex_quant):
+                         vertex_quant, vert_feat):
         """Per-sample MLP query (network.py:202-304): non-rigid offset,
         multiscale KNN, visibility attention, canonical MLP."""
         c = self.cfg
@@ -288,22 +305,17 @@ class Network:
 
         # indices address the concatenated [base; fps levels] cloud — the
         # per-neighbour FPS re-index is a 23M scalar gather otherwise
-        idx, concat_map = multiscale_knn_concat(
+        idx, _ = multiscale_knn_concat(
             jax.lax.stop_gradient(xyz), statics["point_base"],
             statics["fps_idx"], c.knn_k, backend=c.knn_backend)
         idx = ad_checkpoint.checkpoint_name(idx, "knn_idx")     # (N, 4, k)
-        counter = jax.lax.stop_gradient(state["point_counter"])
-        N = xyz.shape[0]
         bn = statics["base_and_norms"][idx[:, 0]]               # (N, k, 6)
         knn_points = bn[..., :3]
         point_norms = bn[..., 3:]
 
-        point_cloud, surface, sdf = vertex_quant
         raws = self.cnl_mlp.apply(
             params["cnl_mlp"], xyz=xyz, knn_points=knn_points,
-            point_norms=point_norms, knn_att_per_vertex=counter,
-            surface_points=surface, point_sdf=sdf, knn_idxs=idx,
-            learnable_points=point_cloud, concat_map=concat_map)
+            point_norms=point_norms, knn_idxs=idx, vert_feat=vert_feat)
         return raws, xyz
 
     def _render_chunk(self, params, statics, state, rays_o, rays_d, near,
@@ -311,7 +323,7 @@ class Network:
                       motion_scale_Rs, motion_Ts, motion_weights_vol,
                       cnl_bbox_min_xyz, cnl_bbox_scale_xyz,
                       *, training, ignore_non_rigid, perturb, rng,
-                      vertex_quant):
+                      vertex_quant, vert_feat):
         c = self.cfg
         n = rays_o.shape[0]
         z_vals = sample_zvals(near, far, c.n_samples)
@@ -329,7 +341,7 @@ class Network:
         flat = x_skel.reshape(-1, 3)
         raws, _ = self._query_canonical(
             params, statics, state, flat, iter_val, non_rigid_input,
-            ignore_non_rigid, vertex_quant)
+            ignore_non_rigid, vertex_quant, vert_feat)
         raw = raws.reshape(n, c.n_samples, -1)
 
         out = raw2outputs(raw, fg_mask, z_vals, rays_d, bgcolor)
@@ -389,12 +401,28 @@ class Network:
 
         motion_scale_Rs, motion_Ts = motion_basis(
             dst_Rs, batch["dst_Ts"], batch["cnl_gtfms"])
+        if training and self.cfg.pose_refiner_inert_in_train:
+            # only the (inert) pose refiner feeds the motion basis —
+            # coordinate grads are statically zero
+            motion_scale_Rs = jax.lax.stop_gradient(motion_scale_Rs)
+            motion_Ts = jax.lax.stop_gradient(motion_Ts)
         motion_weights_vol = self.mweight_decoder.apply(
             params["mweight_vol_decoder"],
             batch["motion_weights_priors"][None])[0]
 
         vertex_quant = (self._vertex_quantities(params, statics)
                         if self.is_occnerf_mlp else None)
+        if self.is_occnerf_mlp:
+            # per-vertex feature table built once per step and shared
+            # across ray chunks (its hash-encode scatter backward is the
+            # expensive part — recomputing it per chunk costs ~100 ms)
+            point_cloud, surface, sdf = vertex_quant
+            vert_feat = self.cnl_mlp.vertex_features(
+                params["cnl_mlp"],
+                jax.lax.stop_gradient(state["point_counter"]),
+                surface, sdf, point_cloud, statics["concat_map"])
+        else:
+            vert_feat = None
 
         rays_o, rays_d = batch["rays"][0], batch["rays"][1]
         near, far = batch["near"], batch["far"]
@@ -419,7 +447,8 @@ class Network:
             cnl_bbox_min_xyz=batch["cnl_bbox_min_xyz"],
             cnl_bbox_scale_xyz=batch["cnl_bbox_scale_xyz"],
             training=training, ignore_non_rigid=ignore_non_rigid,
-            perturb=perturb, vertex_quant=vertex_quant)
+            perturb=perturb, vertex_quant=vertex_quant,
+            vert_feat=vert_feat)
 
         if N <= chunk:
             out = self._render_chunk(params, statics, state, rays_o, rays_d,

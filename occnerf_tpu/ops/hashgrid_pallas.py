@@ -150,6 +150,11 @@ def _build_fwd_kernel(spec: HashGridSpec, E: int, n_rows: int):
         q = x_ref.shape[0]
         row_iota = jax.lax.broadcasted_iota(jnp.int32, (q, n_rows), 1)
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (q, LANES), 1)
+        half_iota = lane_iota >> 1                      # entry-pair id
+        # entry features sit at lanes (2e, 2e+1): parity separates them
+        even = (lane_iota & 1) == 0
+        even_f = even.astype(jnp.float32)
+        odd_f = 1.0 - even_f
 
         primes = _primes_i32(spec)
         feats = []
@@ -159,32 +164,28 @@ def _build_fwd_kernel(spec: HashGridSpec, E: int, n_rows: int):
 
             UNROLL = 4
 
-            def body(cg, acc, grids=grids, fracs=fracs):
-                acc0, acc1 = acc
+            def body(cg, accA, grids=grids, fracs=fracs):
                 # UNROLL corners per iteration: the fori overhead dominates
                 # at 2^D x L x n_blocks iterations otherwise
                 for u in range(UNROLL):
                     ci = cg * UNROLL + u
                     h, w = _corner_hw(ci, grids, fracs, primes, E)
                     row = h // 64
-                    lp = (h % 64) * 2
                     onehot = (row_iota == row).astype(COMPUTE_DTYPE)
                     A = jnp.dot(onehot, tbl.astype(COMPUTE_DTYPE),
                                 preferred_element_type=jnp.float32)
-                    f0 = jnp.sum(jnp.where(lane_iota == lp, A, 0.0),
-                                 axis=1, keepdims=True)
-                    f1 = jnp.sum(jnp.where(lane_iota == lp + 1, A, 0.0),
-                                 axis=1, keepdims=True)
-                    acc0 = acc0 + w * f0
-                    acc1 = acc1 + w * f1
-                return acc0, acc1
+                    # keep only the corner's two feature lanes, weighted;
+                    # corners accumulate in ONE (Q, 128) panel and the
+                    # final parity reduction separates the two features
+                    pair = (half_iota == h % 64).astype(jnp.float32)
+                    accA = accA + (w * pair) * A
+                return accA
 
-            acc0, acc1 = jax.lax.fori_loop(
+            accA = jax.lax.fori_loop(
                 0, n_corners // UNROLL, body,
-                (jnp.zeros((q, 1), jnp.float32),
-                 jnp.zeros((q, 1), jnp.float32)))
-            feats.append(acc0 * ok)
-            feats.append(acc1 * ok)
+                jnp.zeros((q, LANES), jnp.float32))
+            feats.append(jnp.sum(accA * even_f, axis=1, keepdims=True) * ok)
+            feats.append(jnp.sum(accA * odd_f, axis=1, keepdims=True) * ok)
         out_ref[:] = jnp.concatenate(feats, axis=1)
 
     return kernel
@@ -211,6 +212,9 @@ def _build_bwd_kernel(spec: HashGridSpec, E: int, n_rows: int):
         q = x_ref.shape[0]
         row_iota = jax.lax.broadcasted_iota(jnp.int32, (q, n_rows), 1)
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (q, LANES), 1)
+        half_iota = lane_iota >> 1
+        even_f = ((lane_iota & 1) == 0).astype(jnp.float32)
+        odd_f = 1.0 - even_f
         g_lane = jax.lax.broadcasted_iota(jnp.int32, g_ref.shape, 1)
         n_corners = 1 << D
         primes = _primes_i32(spec)
@@ -220,16 +224,17 @@ def _build_bwd_kernel(spec: HashGridSpec, E: int, n_rows: int):
                          axis=1, keepdims=True) * ok
             g1 = jnp.sum(jnp.where(g_lane == 2 * lvl + 1, g_ref[:], 0.0),
                          axis=1, keepdims=True) * ok
+            # per-level cotangent panel: g0 at even lanes, g1 at odd —
+            # per corner the pair mask selects its entry's two lanes
+            g01 = even_f * g0 + odd_f * g1               # (q, 128)
             grids, fracs = _grids_fracs(x_cols, spec, lvl)
 
-            def body(ci, dlvl, grids=grids, fracs=fracs, g0=g0, g1=g1):
+            def body(ci, dlvl, grids=grids, fracs=fracs, g01=g01):
                 h, w = _corner_hw(ci, grids, fracs, primes, E)
                 row = h // 64
-                lp = (h % 64) * 2
                 onehot = (row_iota == row).astype(COMPUTE_DTYPE)
-                # dA (q, 128): per-query update row, both feature lanes
-                dA = (jnp.where(lane_iota == lp, w * g0, 0.0)
-                      + jnp.where(lane_iota == lp + 1, w * g1, 0.0))
+                pair = (half_iota == h % 64).astype(jnp.float32)
+                dA = (w * pair) * g01
                 return dlvl + jnp.dot(onehot.T,
                                       dA.astype(COMPUTE_DTYPE),
                                       preferred_element_type=jnp.float32)

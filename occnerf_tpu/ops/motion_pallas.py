@@ -8,19 +8,24 @@ this kernel reformulates the 8-corner trilinear lookup as dense MXU math:
 
 - table layout: each bone's 32^3 volume is reshaped to (1024, 128) — one
   (z, y) x-row per sublane row, x in the first 32 lanes (rest zero);
-- a "4-hot" matrix F (Q, 1024) holds the four (z,y) corner rows of each
-  query weighted by the bilinear zy-weights (out-of-bounds corners get
-  weight 0 — the grid_sample zero-padding semantics);
+- trilinear corner weights are TENT functions of the coordinate:
+  ``w(lane) = relu(1 - |coord - lane|)`` reproduces the two-corner lerp
+  weights exactly, including the grid_sample zero-padding semantics
+  (corners outside [0, D-1] have no lane inside the tent support).  The
+  (z, y) selection matrix is therefore a product of two tents
+  ``F[q, z*32+y] = tent_z(q, z) * tent_y(q, y)`` — built with ~9 VPU
+  passes over (Q, 1024) instead of four per-corner compare/select chains;
 - one MXU matmul A = F @ T (Q,1024)x(1024,128) performs all row selection
   and the zy-lerp at once;
-- a "2-hot" lane mask W (Q, 128) with (1-tx, tx) at lanes (x0, x1)
-  finishes the x-lerp as an elementwise multiply + lane reduction.
+- an x-tent ``W (Q, 128)`` finishes the x-lerp as an elementwise multiply
+  + lane reduction (table lanes >= 32 are zero-padded, so the tent's
+  support never reads garbage).
 
 Cost: table_size MAC per query on the MXU — ~2.5 TMAC per reference step,
 orders faster than the scalar-gather path it replaces.  The backward pass
-is two more matmuls (dT = F^T @ dA, corner extractions for coordinate
-grads), wired as a custom_vjp; gradients flow to both the volume and the
-sample coordinates.
+is two more matmuls (dT = F^T @ dA; coordinate grads contract tent
+DERIVATIVES against the table), wired as a custom_vjp; gradients flow to
+both the volume and the sample coordinates.
 
 Queries arrive as (N, B) panels (queries in sublanes, bones in lanes);
 each kernel invocation handles one (query-block, bone) pair, extracting
@@ -56,51 +61,31 @@ def _col(ref, b, width):
                    keepdims=True)
 
 
-def _corner_terms(fx, fy, fz):
-    """Corner rows/weights for the four (dz, dy) corners; OOB weight 0."""
-    x0f = jnp.floor(fx)
-    y0f = jnp.floor(fy)
-    z0f = jnp.floor(fz)
-    tx = fx - x0f
-    ty = fy - y0f
-    tz = fz - z0f
-
-    corners = []
-    for dz in (0, 1):
-        wz = tz if dz else 1.0 - tz
-        zc = z0f + dz
-        z_ok = (zc >= 0) & (zc <= D - 1)
-        zi = jnp.clip(zc, 0, D - 1).astype(jnp.int32)
-        for dy in (0, 1):
-            wy = ty if dy else 1.0 - ty
-            yc = y0f + dy
-            y_ok = (yc >= 0) & (yc <= D - 1)
-            yi = jnp.clip(yc, 0, D - 1).astype(jnp.int32)
-            w = jnp.where(z_ok & y_ok, wz * wy, 0.0)
-            corners.append((zi * D + yi, w))
-    return corners, x0f, tx, ty, tz, y0f, z0f
+def _zy_lanes(q):
+    """Loop-invariant (z, y) lane coordinate planes for (Q, 1024)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (q, ROWS), 1)
+    return (lane // D).astype(jnp.float32), (lane % D).astype(jnp.float32)
 
 
-def _xmask(x0f, tx):
-    """(Q, 128) two-hot x-lerp mask with OOB zeroing."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, (x0f.shape[0], LANES), 1)
-    x0_ok = (x0f >= 0) & (x0f <= D - 1)
-    x1_ok = (x0f + 1 >= 0) & (x0f + 1 <= D - 1)
-    x0i = jnp.clip(x0f, 0, D - 1).astype(jnp.int32)
-    x1i = jnp.clip(x0f + 1, 0, D - 1).astype(jnp.int32)
-    w0 = jnp.where(x0_ok, 1.0 - tx, 0.0)
-    w1 = jnp.where(x1_ok, tx, 0.0)
-    return ((lane == x0i) * w0 + (lane == x1i) * w1).astype(jnp.float32)
+def _tent(coord, lane_f):
+    """relu(1 - |coord - lane|): the exact lerp weight of each corner
+    lane, zero outside [coord-1, coord+1] — which also implements the
+    grid_sample zero-padding (OOB corners have no lane in support)."""
+    return jax.nn.relu(1.0 - jnp.abs(coord - lane_f))
 
 
-def _fourhot(corners):
-    """(Q, 1024) zy 4-hot row-selection matrix."""
-    q = corners[0][0].shape[0]
-    row = jax.lax.broadcasted_iota(jnp.int32, (q, ROWS), 1)
-    F = jnp.zeros((q, ROWS), jnp.float32)
-    for r_idx, w in corners:
-        F = F + (row == r_idx) * w
-    return F
+def _dtent(coord, lane_f):
+    """d/dcoord of :func:`_tent` with floor-lerp (right-derivative)
+    convention at integer coords: -1 on [lane, lane+1), +1 on
+    [lane-1, lane)."""
+    d = coord - lane_f
+    return (jnp.where((d >= -1.0) & (d < 0.0), 1.0, 0.0)
+            - jnp.where((d >= 0.0) & (d < 1.0), 1.0, 0.0))
+
+
+def _xlane(q):
+    lane = jax.lax.broadcasted_iota(jnp.int32, (q, LANES), 1)
+    return lane.astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -111,12 +96,13 @@ def _fwd_kernel(fx_ref, fy_ref, fz_ref, tbl_ref, out_ref):
     fy = _col(fy_ref, b, nb)
     fz = _col(fz_ref, b, nb)
 
-    corners, x0f, tx, *_ = _corner_terms(fx, fy, fz)
-    F = _fourhot(corners)                            # (Q, 1024)
+    q = fx.shape[0]
+    zl, yl = _zy_lanes(q)
+    F = _tent(fz, zl) * _tent(fy, yl)                # (Q, 1024)
     A = jnp.dot(F.astype(COMPUTE_DTYPE),
                 tbl_ref[0].astype(COMPUTE_DTYPE),
                 preferred_element_type=jnp.float32)
-    W = _xmask(x0f, tx)                              # (Q, 128)
+    W = _tent(fx, _xlane(q))                         # (Q, 128)
     val = jnp.sum(A * W, axis=1, keepdims=True)      # (Q, 1)
 
     @pl.when(b == 0)
@@ -142,9 +128,10 @@ def _bwd_tbl_kernel(fx_ref, fy_ref, fz_ref, g_ref, dtbl_ref):
     def _():
         dtbl_ref[0] = jnp.zeros_like(dtbl_ref[0])
 
-    corners, x0f, tx, *_ = _corner_terms(fx, fy, fz)
-    F = _fourhot(corners)
-    W = _xmask(x0f, tx)
+    q = fx.shape[0]
+    zl, yl = _zy_lanes(q)
+    F = _tent(fz, zl) * _tent(fy, yl)
+    W = _tent(fx, _xlane(q))
     dA = g * W                                       # (Q, 128)
     dtbl_ref[0] += jnp.dot(F.T.astype(COMPUTE_DTYPE),
                            dA.astype(COMPUTE_DTYPE),
@@ -161,56 +148,29 @@ def _bwd_f_kernel(fx_ref, fy_ref, fz_ref, g_ref, tbl_ref,
     fy = _col(fy_ref, b, nb)
     fz = _col(fz_ref, b, nb)
     g = _col(g_ref, b, nb)
-    tbl = tbl_ref[0]                                 # (1024, 128)
+    tbl = tbl_ref[0].astype(COMPUTE_DTYPE)           # (1024, 128)
 
-    corners, x0f, tx, ty, tz, y0f, z0f = _corner_terms(fx, fy, fz)
-    F = _fourhot(corners)
-    A = jnp.dot(F.astype(COMPUTE_DTYPE), tbl.astype(COMPUTE_DTYPE),
-                preferred_element_type=jnp.float32)          # (Q,128)
-    W = _xmask(x0f, tx)
+    q = fx.shape[0]
+    zl, yl = _zy_lanes(q)
+    Zt = _tent(fz, zl)
+    Yt = _tent(fy, yl)
+    xl = _xlane(q)
+    W = _tent(fx, xl)
 
-    # dtx: d/dtx of the two-hot = (at x1) - (at x0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (fx.shape[0], LANES), 1)
-    x0_ok = (x0f >= 0) & (x0f <= D - 1)
-    x1_ok = (x0f + 1 >= 0) & (x0f + 1 <= D - 1)
-    x0i = jnp.clip(x0f, 0, D - 1).astype(jnp.int32)
-    x1i = jnp.clip(x0f + 1, 0, D - 1).astype(jnp.int32)
-    dW_dtx = ((lane == x1i) * jnp.where(x1_ok, 1.0, 0.0)
-              - (lane == x0i) * jnp.where(x0_ok, 1.0, 0.0))
-    dfx = g * jnp.sum(A * dW_dtx, axis=1, keepdims=True)
+    def contract(S):
+        return jnp.dot(S.astype(COMPUTE_DTYPE), tbl,
+                       preferred_element_type=jnp.float32)
 
-    # coordinate grads via DIFFERENCE selectors — one matmul each instead
-    # of four per-corner extractions:
-    #   dval/dty = (1-tz)(v01 - v00) + tz(v11 - v10)
-    #   dval/dtz = (1-ty)(v10 - v00) + ty(v11 - v01)
-    # with v_c = (onehot(r_c) @ T * W).sum(lanes) and per-corner OOB masks
-    # folded into the selector weights.
-    row = jax.lax.broadcasted_iota(jnp.int32, (fx.shape[0], ROWS), 1)
-
-    def ok(c):
-        return ((c >= 0) & (c <= D - 1)).astype(jnp.float32)
-    m_z0, m_z1 = ok(z0f), ok(z0f + 1)
-    m_y0, m_y1 = ok(y0f), ok(y0f + 1)
-    (r00, _), (r01, _), (r10, _), (r11, _) = corners
-
-    def sel(r_idx):
-        return (row == r_idx).astype(jnp.float32)
-
-    S_y = ((sel(r01) * (m_z0 * m_y1) - sel(r00) * (m_z0 * m_y0))
-           * (1.0 - tz)
-           + (sel(r11) * (m_z1 * m_y1) - sel(r10) * (m_z1 * m_y0)) * tz)
-    S_z = ((sel(r10) * (m_z1 * m_y0) - sel(r00) * (m_z0 * m_y0))
-           * (1.0 - ty)
-           + (sel(r11) * (m_z1 * m_y1) - sel(r01) * (m_z0 * m_y1)) * ty)
-    tbl_c = tbl.astype(COMPUTE_DTYPE)
-    dfy = g * jnp.sum(
-        jnp.dot(S_y.astype(COMPUTE_DTYPE), tbl_c,
-                preferred_element_type=jnp.float32) * W,
-        axis=1, keepdims=True)
-    dfz = g * jnp.sum(
-        jnp.dot(S_z.astype(COMPUTE_DTYPE), tbl_c,
-                preferred_element_type=jnp.float32) * W,
-        axis=1, keepdims=True)
+    A = contract(Zt * Yt)                            # (Q, 128)
+    # dval/dfx: tent derivative over the x lanes (table lanes >= 32 are
+    # zero, so their spurious dtent contributions multiply into zeros)
+    dfx = g * jnp.sum(A * _dtent(fx, xl), axis=1, keepdims=True)
+    # dval/dfy and dval/dfz: same contraction with one tent replaced by
+    # its derivative
+    dfy = g * jnp.sum(contract(Zt * _dtent(fy, yl)) * W,
+                      axis=1, keepdims=True)
+    dfz = g * jnp.sum(contract(_dtent(fz, zl) * Yt) * W,
+                      axis=1, keepdims=True)
 
     @pl.when(b == 0)
     def _():
