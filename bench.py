@@ -48,6 +48,11 @@ def main() -> None:
     # (configs/occnerf/zju_mocap/387/occnerf.yaml:32-33)
     c.pose_decoder.kick_in_iter = 2_000_000
     c.non_rigid_motion_mlp.kick_in_iter = 100_000
+    # occupancy-guided sample compaction: query the canonical MLP for the
+    # top-half of samples by foreground likelihood (the rest carry
+    # ~0 alpha through the reference's own mask multiply); A/B'd for
+    # convergence parity on the synthetic subject (docs/ROADMAP.md)
+    c.tpu.sample_compaction = 0.5
     c.logdir = os.path.join(tmp, "logs")
     c.progress.dump_interval = 10 ** 9
     c.train.save_checkpt_interval = 10 ** 9

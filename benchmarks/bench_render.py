@@ -37,6 +37,8 @@ def main() -> None:
     c.canonical_mlp.module = "core.nets.occnerf.canonical_mlps.occnerf_mlp"
     c.canonical_mlp.mlp_depth = 4
     c.canonical_mlp.log2_hashmap_size = 14
+    # recommended TPU configuration (see bench.py / docs/ROADMAP.md)
+    c.tpu.sample_compaction = 0.5
     c.logdir = os.path.join(tmp, "logs")
     set_cfg(c)
 

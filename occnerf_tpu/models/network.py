@@ -54,6 +54,15 @@ class NetworkConfig:
     # training rays are chunked + rematerialized: the per-sample KNN
     # feature tensors (N, 4k, C) otherwise blow past HBM with AD residuals
     train_chunk: int = 1024
+    # occupancy-guided sample compaction (beyond-reference, tpu knob):
+    # query the canonical MLP only for the top `sample_compaction`
+    # fraction of samples per chunk ranked by foreground likelihood.
+    # Dropped samples contribute alpha = 0 (exactly what the reference's
+    # mask multiply gives them when their likelihood is ~0); the
+    # completeness loss stays exact via the origin-probe correction
+    # (every zero-likelihood sample maps to the canonical origin).
+    # 1.0 disables.
+    sample_compaction: float = 1.0
     bbox_offset: float = 0.3
     knn_k: int = 10
     sdf_k: int = 3
@@ -97,6 +106,8 @@ class NetworkConfig:
             total_bones=c.total_bones,
             n_samples=c.N_samples,
             chunk=c.get("tpu", {}).get("eval_ray_bucket", 8192) or 8192,
+            sample_compaction=float(
+                c.get("tpu", {}).get("sample_compaction", 1.0)),
             bbox_offset=c.bbox_offset,
             knn_backend=c.get("tpu", {}).get("knn_backend", "approx"),
             canonical_module=c.canonical_mlp.module,
@@ -138,6 +149,27 @@ class NetworkConfig:
         coordinate gradients are statically zero — stop-gradient lets XLA
         DCE the coordinate-gradient Pallas kernel from the train step."""
         return self.pose_kick_in_iter > self.train_maxiter
+
+
+@jax.custom_vjp
+def _permute_rows(x, idx, inv_idx):
+    """Row permutation whose backward is ALSO a gather (`g[inv of idx]`).
+
+    The default VJP of fancy indexing is a scatter-add — ~70 ns/element on
+    TPU.  For a bijective permutation the transpose is just the inverse
+    gather, which rides the fast row-gather path."""
+    return x[idx]
+
+
+def _permute_rows_fwd(x, idx, inv_idx):
+    return x[idx], inv_idx
+
+
+def _permute_rows_bwd(inv_idx, g):
+    return g[inv_idx], None, None
+
+
+_permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
 
 
 class Network:
@@ -331,17 +363,47 @@ class Network:
             z_vals = stratify_zvals(rng, z_vals)
 
         pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
-        x_skel, fg_mask = sample_motion_fields(
+        x_skel, fg_mask_raw = sample_motion_fields(
             pts, motion_scale_Rs, motion_Ts, motion_weights_vol,
             cnl_bbox_min_xyz, cnl_bbox_scale_xyz)
         # padded rays (near = far = 0, ray_valid = 0) must composite to
         # exactly bgcolor: zero their foreground likelihood
-        fg_mask = fg_mask * ray_valid[:, None, None]
+        fg_mask = fg_mask_raw * ray_valid[:, None, None]
 
         flat = x_skel.reshape(-1, 3)
-        raws, _ = self._query_canonical(
-            params, statics, state, flat, iter_val, non_rigid_input,
-            ignore_non_rigid, vertex_quant, vert_feat)
+        ns_all = flat.shape[0]
+        frac = c.sample_compaction
+        K = min(ns_all, -(-int(ns_all * frac) // 512) * 512)
+        compact = self.is_occnerf_mlp and K < ns_all
+        raw0 = None
+        if compact:
+            # occupancy-guided compaction: rank samples by foreground
+            # likelihood and query only the top K (+ one probe of the
+            # canonical origin, where every zero-likelihood sample lands
+            # exactly — wsum == 0 means all corner weights were zero).
+            # Dropped samples get raw = 0; their alpha is zeroed by the
+            # mask multiply in raw2outputs just as the reference zeroes
+            # ~0-likelihood samples, and the completeness loss is
+            # corrected exactly below.
+            mflat = jax.lax.stop_gradient(fg_mask.reshape(-1))
+            iota = jnp.arange(ns_all, dtype=jnp.int32)
+            _, perm = jax.lax.sort_key_val(-mflat, iota)
+            _, iperm = jax.lax.sort_key_val(perm, iota)
+            xyz_q = jnp.concatenate(
+                [flat[perm[:K]], jnp.zeros((1, 3), flat.dtype)], axis=0)
+            raws_q, _ = self._query_canonical(
+                params, statics, state, xyz_q, iter_val, non_rigid_input,
+                ignore_non_rigid, vertex_quant, vert_feat)
+            raw0 = raws_q[K]
+            raws_sorted = jnp.concatenate(
+                [raws_q[:K],
+                 jnp.zeros((ns_all - K, raws_q.shape[-1]), raws_q.dtype)],
+                axis=0)
+            raws = _permute_rows(raws_sorted, iperm, perm)
+        else:
+            raws, _ = self._query_canonical(
+                params, statics, state, flat, iter_val, non_rigid_input,
+                ignore_non_rigid, vertex_quant, vert_feat)
         raw = raws.reshape(n, c.n_samples, -1)
 
         out = raw2outputs(raw, fg_mask, z_vals, rays_d, bgcolor)
@@ -358,7 +420,26 @@ class Network:
             comp = dist_in * jnp.exp(
                 jnp.clip(-jax.nn.relu(alpha_m), -10.0, 0.0)) * 10.0
             comp = comp * ray_valid[:, None]  # padded rays contribute 0
-            result["comp_loss"] = comp.reshape(-1)
+            comp = comp.reshape(-1)
+            if compact:
+                # every zero-likelihood sample (dropped or kept) maps to
+                # the canonical origin: gate per-sample comp on mask > 0
+                # and add the origin probe's comp once per VALID zero-mask
+                # sample — exact whenever no positive-mask sample was
+                # dropped (K >= count(mask > 0))
+                mask_pos = (fg_mask.reshape(-1) > 0.0).astype(jnp.float32)
+                comp = comp * mask_pos
+                d0 = raw0[4]
+                a0 = jnp.where(d0 > 0.3, 0.0, raw0[3])
+                in0 = jax.lax.stop_gradient(
+                    (d0 < 0.0).astype(jnp.float32))
+                c0 = in0 * jnp.exp(
+                    jnp.clip(-jax.nn.relu(a0), -10.0, 0.0)) * 10.0
+                n_zero_valid = jnp.sum(
+                    ray_valid[:, None]
+                    * (fg_mask_raw[..., 0] <= 0.0).astype(jnp.float32))
+                comp = comp.at[0].add(c0 * n_zero_valid)
+            result["comp_loss"] = comp
 
             # visibility counter update (network.py:501-517): canonical
             # points at ray termination, 10-NN into the learnable cloud

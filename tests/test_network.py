@@ -157,3 +157,67 @@ def test_jit_forward(setup):
 
     out, new_state = fwd(params, state, batch)
     assert np.isfinite(np.asarray(out["rgb"])).all()
+
+
+def test_sample_compaction_exact(setup):
+    """Compaction with K >= count(mask > 0) reproduces the full forward
+    exactly (rgb/alpha/depth via the alpha-mask zeroing; comp_loss via the
+    origin-probe correction)."""
+    _, params, state, statics_small, batch = setup
+
+    def make(frac):
+        cfg = NetworkConfig(
+            n_samples=64, chunk=32, knn_backend="exact",
+            sample_compaction=frac,
+            cnl_mlp_depth=2, cnl_mlp_width=32,
+            cnl_num_levels=4, cnl_log2_hashmap_size=10,
+            cnl_base_resolution=4,
+            mweight_embedding_size=32, mweight_volume_size=8,
+            nr_mlp_width=16, nr_mlp_depth=3, nr_skips=(2,),
+            nr_kick_in_iter=10, nr_full_band_iter=100,
+            pose_mlp_width=32, pose_mlp_depth=2, pose_kick_in_iter=50)
+        return Network(cfg)
+
+    net_full, net_cmp = make(1.0), make(0.5)
+    # rebuild statics/params on each net (cnl_mlp is built per instance)
+    verts = np.asarray(statics_small["point_base"])
+    joints = verts[:24]
+    faces = np.zeros((4, 3), np.int32)
+    statics = net_full.generate_neural_points(verts, joints, faces)
+    net_cmp.generate_neural_points(verts, joints, faces)
+    params, state = net_full.init(jax.random.PRNGKey(0), statics)
+
+    # push rays so over half the samples fall outside the volume
+    b = dict(batch)
+    b["far"] = jnp.full_like(batch["far"], 10.0)
+
+    out_f, st_f = net_full.forward(params, statics, state, b, 100.0,
+                                   training=True, perturb=0.0)
+    out_c, st_c = net_cmp.forward(params, statics, state, b, 100.0,
+                                  training=True, perturb=0.0)
+    np.testing.assert_allclose(np.asarray(out_f["rgb"]),
+                               np.asarray(out_c["rgb"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_f["depth"]),
+                               np.asarray(out_c["depth"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_f["alpha"]),
+                               np.asarray(out_c["alpha"]), atol=1e-5)
+    np.testing.assert_allclose(
+        float(jnp.sum(out_f["comp_loss"])),
+        float(jnp.sum(out_c["comp_loss"])), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(st_f["point_counter"]),
+        np.asarray(st_c["point_counter"]), atol=1e-6)
+
+    # gradients agree too (the compaction path is differentiable)
+    def loss(net):
+        def f(p):
+            out, _ = net.forward(p, statics, state, b, 100.0,
+                                 training=True, perturb=0.0)
+            return jnp.mean(out["rgb"]) + jnp.mean(out["comp_loss"])
+        return f
+
+    g_f = jax.grad(loss(net_full))(params)
+    g_c = jax.grad(loss(net_cmp))(params)
+    for a, bb in zip(jax.tree.leaves(g_f), jax.tree.leaves(g_c)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   atol=2e-4)

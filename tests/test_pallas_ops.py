@@ -75,3 +75,37 @@ def test_hashgrid_pallas_supports_gate():
                              base_resolution=16, log2_hashmap_size=14,
                              desired_resolution=2048)
     assert not supports(d3)
+
+
+def test_motion_pallas_integer_coord_grads():
+    """At exact integer coordinates the lerp derivative is one-sided
+    (d/dt of the floor-based lerp at t=0 is v[i+1] - v[i]); the tent
+    formulation must reproduce the oracle's convention."""
+    from occnerf_tpu.ops.motion_pallas import trilinear_bone_weights
+    from occnerf_tpu.ops.trilinear import _flat_trilinear
+
+    B, D = 2, 32
+    rng = np.random.default_rng(3)
+    vols = jnp.asarray(rng.uniform(size=(B, D, D, D)).astype(np.float32))
+    # exact integers (including boundaries) and near-integers
+    vals = np.array([0.0, 1.0, 5.0, 30.0, 31.0, 4.9999, 5.0001, -1.0,
+                     32.0, 7.5], np.float32)
+    fx = jnp.asarray(np.tile(vals, (B, 1)))
+    fy = jnp.asarray(np.tile(np.roll(vals, 3), (B, 1)))
+    fz = jnp.asarray(np.tile(np.roll(vals, 6), (B, 1)))
+
+    def loss(f, which):
+        args = [fx, fy, fz]
+        args[which] = f
+        return jnp.sum(trilinear_bone_weights(vols, *args) ** 2)
+
+    def loss_ref(f, which):
+        args = [fx, fy, fz]
+        args[which] = f
+        return jnp.sum(_flat_trilinear(vols, *args) ** 2)
+
+    for which, f in ((0, fx), (1, fy), (2, fz)):
+        g = jax.grad(loss)(f, which)
+        g_ref = jax.grad(loss_ref)(f, which)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                                   atol=1e-4, err_msg=f"coord {which}")
