@@ -53,6 +53,7 @@ def main() -> None:
     # ~0 alpha through the reference's own mask multiply); A/B'd for
     # convergence parity on the synthetic subject (docs/ROADMAP.md)
     c.tpu.sample_compaction = 0.5
+    c.tpu.train_chunk = 512     # swept 256/512/1024/2048: 512 is fastest
     c.logdir = os.path.join(tmp, "logs")
     c.progress.dump_interval = 10 ** 9
     c.train.save_checkpt_interval = 10 ** 9

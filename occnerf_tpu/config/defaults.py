@@ -185,6 +185,7 @@ def get_default_cfg() -> CfgNode:
         knn_recall=0.95,            # approx_max_k recall target
         hashgrid_backend="xla",     # 'xla' gather | 'pallas'
         eval_ray_bucket=8192,       # rays padded to a multiple of this at eval
+        train_chunk=1024,           # rays per rematerialized train chunk
         # occupancy-guided sample compaction: fraction of per-chunk samples
         # (ranked by foreground likelihood) queried through the canonical
         # MLP; 1.0 = off.  Exact when every positive-likelihood sample

@@ -106,6 +106,7 @@ class NetworkConfig:
             total_bones=c.total_bones,
             n_samples=c.N_samples,
             chunk=c.get("tpu", {}).get("eval_ray_bucket", 8192) or 8192,
+            train_chunk=int(c.get("tpu", {}).get("train_chunk", 1024)),
             sample_compaction=float(
                 c.get("tpu", {}).get("sample_compaction", 1.0)),
             bbox_offset=c.bbox_offset,

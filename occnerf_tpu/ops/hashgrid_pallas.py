@@ -172,12 +172,11 @@ def _build_fwd_kernel(spec: HashGridSpec, E: int, n_rows: int):
                     h, w = _corner_hw(ci, grids, fracs, primes, E)
                     row = h // 64
                     onehot = (row_iota == row).astype(COMPUTE_DTYPE)
-                    # one-hot selection: each output element sums exactly
-                    # one nonzero product, so accumulating in
-                    # COMPUTE_DTYPE is lossless given rounded inputs
+                    # NOTE: Mosaic requires 32-bit matmul accumulators
+                    # ('tpu.matmul op Expected matmul acc to be 32-bit'),
+                    # so bf16 COMPUTE_DTYPE only narrows the inputs
                     A = jnp.dot(onehot, tbl.astype(COMPUTE_DTYPE),
-                                preferred_element_type=COMPUTE_DTYPE
-                                ).astype(jnp.float32)
+                                preferred_element_type=jnp.float32)
                     # keep only the corner's two feature lanes, weighted;
                     # corners accumulate in ONE (Q, 128) panel and the
                     # final parity reduction separates the two features
