@@ -127,13 +127,16 @@ class OccNeRFCanonicalMLP:
     # -- pieces -------------------------------------------------------------
     def simple_agg(self, atts: jnp.ndarray, feats: jnp.ndarray):
         """Visibility-attention aggregation (occnerf_mlp.py:86-126):
-        min-shift, max-normalize, variance feature, softmax (detached)."""
+        min-shift, max-normalize, variance feature, softmax (detached).
+
+        ``atts`` is 2-D (N, K) — trailing singleton dims force transposed
+        TPU layouts (two ~10 ms layout copies per step measured)."""
         atts = atts + 1.0 - jnp.min(atts, axis=1, keepdims=True)
         atts = atts / jnp.max(atts, axis=1, keepdims=True)
-        var = jnp.var(atts, axis=1, ddof=1)                      # (N, 1)
+        var = jnp.var(atts, axis=1, ddof=1, keepdims=True)       # (N, 1)
         atts = jax.nn.softmax(atts, axis=1)
-        agg = jnp.sum(jax.lax.stop_gradient(atts) * feats, axis=1)
-        return agg.reshape(agg.shape[0], -1), var
+        agg = jnp.einsum("nk,nkc->nc", jax.lax.stop_gradient(atts), feats)
+        return agg, var
 
     def vertex_features(self, params, knn_att_per_vertex: jnp.ndarray,
                         surface_points: jnp.ndarray, point_sdf: jnp.ndarray,
@@ -207,7 +210,7 @@ class OccNeRFCanonicalMLP:
                 params, knn_att_per_vertex, surface_points, point_sdf,
                 learnable_points, concat_map)
         gathered = vert_feat[knn_idxs.reshape(N, -1)]            # (N,4k,36)
-        knn_att = jax.lax.stop_gradient(gathered[..., :1])
+        knn_att = jax.lax.stop_gradient(gathered[..., 0])        # (N,4k)
         knn_feats = gathered[..., 1:]                            # (N,4k,35)
 
         agg, var = self.simple_agg(knn_att, knn_feats)           # (N,35),(N,1)

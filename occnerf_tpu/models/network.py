@@ -557,7 +557,7 @@ class Network:
                 # indices, the no-input-grad hash encode) are saved, not
                 # recomputed — together they dominate forward time.
                 policy = jax.checkpoint_policies.save_only_these_names(
-                    "knn_idx", "hash_enc")
+                    "knn_idx", "hash_enc", "motion_w")
                 body = jax.checkpoint(body, policy=policy)
 
             mapped = jax.lax.map(body, (

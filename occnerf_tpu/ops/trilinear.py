@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax import ad_checkpoint
 
 
 def _flat_trilinear(vols: jnp.ndarray, fx: jnp.ndarray, fy: jnp.ndarray,
@@ -144,6 +145,9 @@ def sample_motion_fields(pts: jnp.ndarray,
         weights = trilinear_bone_weights(weights_vol, f[0], f[1], f[2])
     else:
         weights = _flat_trilinear(weights_vol, f[0], f[1], f[2])  # (B, N)
+    # saved (not recomputed) under the training remat policy: re-running
+    # the sampling kernel in the backward costs ~47 ms/step
+    weights = ad_checkpoint.checkpoint_name(weights, "motion_w")
 
     wsum = jnp.sum(weights, axis=0)                           # (N,)
     x_skel = jnp.einsum("bn,ibn->in", weights, pos) / \
