@@ -516,9 +516,10 @@ class Network:
         if chunk is None:
             if self.is_occnerf_mlp:
                 # the per-sample KNN feature tensor (N*S, 4k, 35) lane-pads
-                # 35 -> 128 on TPU: big eval chunks blow HBM
+                # 35 -> 128 on TPU: big eval chunks blow HBM.  Eval has no
+                # AD residuals, so its cap is independent of train_chunk.
                 chunk = self.cfg.train_chunk if training else min(
-                    self.cfg.chunk, 2 * self.cfg.train_chunk)
+                    self.cfg.chunk, 2048)
             else:
                 chunk = self.cfg.chunk
 

@@ -59,3 +59,33 @@ def test_train_run_eval_cli(workdir, monkeypatch):
         "mweight_volume.module",
         "core.nets.occnerf.mweight_vol_decoders.self_vol_decoder"])
     eval_entry.main()
+
+
+def test_render_types_cli(workdir, monkeypatch):
+    """The remaining run.py types (freeview/tpose/backview/allview) each
+    produce frames from the trained tiny checkpoint."""
+    _chdir(monkeypatch, workdir)
+    cfg_path = os.path.join(REPO, "configs", "synthetic", "tiny.yaml")
+    logdir = "experiments/occnerf/synthetic/subject/tiny"
+    if not os.path.exists(os.path.join(logdir, "latest.ckpt")):
+        pytest.skip("train CLI test must run first (module-scoped workdir)")
+
+    import run as run_entry
+    common = ["N_samples", "4", "tpu.eval_ray_bucket", "1024",
+              "mweight_volume.module",
+              "core.nets.occnerf.mweight_vol_decoders.self_vol_decoder",
+              "render_frames", "2"]
+    # freeview writes to freeview_{frame_idx} (reference run.py naming)
+    for rtype, subdir, expect in (("freeview", "freeview_0", 2),
+                                  ("tpose", "tpose", 1),
+                                  ("backview", "backview", 3),
+                                  ("allview", "allview_0", None)):
+        monkeypatch.setattr(sys, "argv", [
+            "run.py", "--type", rtype, "--cfg", cfg_path] + common)
+        run_entry.main()
+        out_dir = os.path.join(logdir, "latest", subdir)
+        pngs = [f for f in os.listdir(out_dir) if f.endswith(".png")]
+        if expect is None:
+            assert len(pngs) >= 1
+        else:
+            assert len(pngs) == expect, (rtype, pngs)
