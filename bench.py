@@ -8,10 +8,10 @@ pipeline — inverse-LBS motion field, multiscale KNN, hash-grid canonical
 MLP, volume compositing, LPIPS+MSE+completeness loss, clipped Adam update.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-``vs_baseline`` is reported against the reference's effective rate of
-~2.2 iter/s needed to finish its 100k-iteration recipe in the ~12.5h a
-4x2080Ti run takes (no number is published — BASELINE.md; this anchor is
-an estimate, flagged as such in the metric name).
+``vs_baseline`` compares PER-DEVICE rates (the metric is rays/s/chip):
+the reference finishes its 100k-iteration recipe in ~12.5h on a
+4x2080Ti rig (no number is published — BASELINE.md), i.e. ~2.2 iter/s
+for the rig and ~0.55 iter/s per GPU; this anchor is an estimate.
 """
 
 from __future__ import annotations
@@ -87,7 +87,10 @@ def main() -> None:
     rays = c.patch.N_patches * c.patch.size ** 2
     rays_per_s = rays / dt
     iters_per_s = 1.0 / dt
-    baseline_iters_per_s = 2.2  # estimated reference rate (see docstring)
+    # per-DEVICE anchor: ~2.2 iter/s estimated for the reference's
+    # 4x2080Ti rig -> ~0.55 iter/s per GPU (see docstring); the metric
+    # compares one v5e chip against one reference GPU
+    baseline_iters_per_s = 2.2 / 4.0
 
     print(json.dumps({
         "metric": "train_rays_per_sec_per_chip",

@@ -41,10 +41,22 @@ def _encode_no_input_grad(x, table, spec):
     return _adc.checkpoint_name(out, "hash_enc")
 
 
+def _safe_norm(x: jnp.ndarray, axis: int = -1, keepdims: bool = False,
+               eps: float = 1e-12) -> jnp.ndarray:
+    """L2 norm whose gradient at x = 0 is 0 (torch subgradient
+    convention).  ``jnp.linalg.norm`` back-propagates x/||x|| = NaN at
+    exactly zero — and a later clamp can't repair it (0 * NaN = NaN).
+    The learnable per-point offset makes zero vectors reachable: the
+    self-neighbour direction IS ``point_dist``, which crossed 0.0 after
+    ~750 optimizer steps in the soak run and NaN'd the whole state."""
+    sq = jnp.sum(x * x, axis=axis, keepdims=keepdims)
+    return jnp.sqrt(jnp.maximum(sq, eps * eps))
+
+
 def _cosine_similarity(a: jnp.ndarray, b: jnp.ndarray,
                        eps: float = 1e-8) -> jnp.ndarray:
     num = jnp.sum(a * b, axis=-1)
-    den = jnp.linalg.norm(a, axis=-1) * jnp.linalg.norm(b, axis=-1)
+    den = _safe_norm(a, axis=-1) * _safe_norm(b, axis=-1)
     return num / jnp.maximum(den, eps)
 
 
@@ -182,7 +194,7 @@ class OccNeRFCanonicalMLP:
         direction = jax.lax.stop_gradient(xyz[:, None, :] - knn_points)
         dots = jnp.einsum("nkd,nkd->nk", direction, point_norms)
         inside = jnp.sum(dots < 0, axis=1) > k * 0.5
-        dist = jnp.mean(jnp.linalg.norm(direction, axis=-1), axis=1,
+        dist = jnp.mean(_safe_norm(direction, axis=-1), axis=1,
                         keepdims=True)
         dist = jnp.where(inside[:, None], -dist, dist)
         dist = jax.lax.stop_gradient(dist)

@@ -36,7 +36,7 @@ from ..ops.raymarch import raw2outputs, sample_zvals, stratify_zvals
 from ..ops.trilinear import sample_motion_fields
 from ..utils.mesh import multiscale_fps_indices, vertex_normals
 from .canonical import OccNeRFCanonicalMLP, VanillaCanonicalMLP, \
-    _cosine_similarity
+    _cosine_similarity, _safe_norm
 from .embedders import fourier_embed, fourier_out_dim, hannw_fourier_embed
 from .motion import motion_basis
 from .mweight import DeconvVolumeDecoder, SelfVolumeDecoder
@@ -309,7 +309,9 @@ class Network:
         inside = jnp.sum(
             jnp.einsum("vkd,vkd->vk", direction, norms) < 0, axis=1
         ) > self.cfg.sdf_k * 0.5
-        sdf = jnp.mean(jnp.linalg.norm(direction, axis=-1), axis=1,
+        # _safe_norm: the self-neighbour direction equals point_dist and
+        # can be exactly 0 (see canonical._safe_norm)
+        sdf = jnp.mean(_safe_norm(direction, axis=-1), axis=1,
                        keepdims=True)
         sdf = jnp.where(inside[:, None], -sdf, sdf)
         return point_cloud, surface, sdf

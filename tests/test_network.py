@@ -221,3 +221,26 @@ def test_sample_compaction_exact(setup):
     for a, bb in zip(jax.tree.leaves(g_f), jax.tree.leaves(g_c)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
                                    atol=2e-4)
+
+
+def test_zero_point_dist_keeps_gradients_finite(setup):
+    """Regression: a point_dist element at exactly 0 makes the
+    self-neighbour direction the zero vector; jnp.linalg.norm would
+    back-propagate NaN there (torch returns subgradient 0 — the
+    reference trains through this point).  Caught by a 2000-iter soak
+    run that NaN'd at ~iter 750."""
+    net, params, state, statics, batch = setup
+    params = jax.tree.map(lambda x: x, params)
+    pd = np.asarray(params["point_dist"]).copy()
+    pd[:8] = 0.0                               # exact zeros
+    params["point_dist"] = jnp.asarray(pd)
+
+    def loss(p):
+        out, _ = net.forward(p, statics, state, batch, 100.0,
+                             training=True, perturb=0.0)
+        return jnp.mean(out["rgb"]) + jnp.mean(out["comp_loss"])
+
+    val, g = jax.value_and_grad(loss)(params)
+    assert np.isfinite(float(val))
+    for leaf in jax.tree.leaves(g):
+        assert np.isfinite(np.asarray(leaf)).all()
