@@ -142,6 +142,15 @@ class NetworkConfig:
         )
 
     @property
+    def non_rigid_inert_in_train(self) -> bool:
+        """True when the hann-window alpha stays <= 0 for every training
+        iteration (kick_in >= maxiter — all shipped configs): the
+        positional embedding is then all-zero, so the non-rigid offset is
+        a PER-FRAME CONSTANT (the pose condition does not vary per
+        sample) — computable on one row and broadcast, exactly."""
+        return self.nr_kick_in_iter >= self.train_maxiter
+
+    @property
     def pose_refiner_inert_in_train(self) -> bool:
         """True when the pose refiner cannot activate within the training
         schedule (kick_in > maxiter — the shipped configs set 2e6/1e7 vs
@@ -318,19 +327,32 @@ class Network:
 
     def _query_canonical(self, params, statics, state, xyz, iter_val,
                          non_rigid_input, ignore_non_rigid,
-                         vertex_quant, vert_feat):
+                         vertex_quant, vert_feat, training=False):
         """Per-sample MLP query (network.py:202-304): non-rigid offset,
         multiscale KNN, visibility attention, canonical MLP."""
         c = self.cfg
         if not ignore_non_rigid:
-            embed = hannw_fourier_embed(xyz, c.nr_multires, iter_val,
-                                        c.nr_kick_in_iter,
-                                        c.nr_full_band_iter)
-            cond = jnp.broadcast_to(non_rigid_input[None],
-                                    (xyz.shape[0],
-                                     non_rigid_input.shape[-1]))
-            xyz = self.non_rigid_mlp.apply(
-                params["non_rigid_mlp"], embed, xyz, cond)["xyz"]
+            if training and c.non_rigid_inert_in_train:
+                # all-zero embedding + per-frame condition: the offset is
+                # one MLP evaluation broadcast over samples (exact, incl.
+                # gradients — broadcast VJP sums the cotangents)
+                zero_embed = jnp.zeros(
+                    (1, fourier_out_dim(c.nr_multires, 3,
+                                        include_input=False)), xyz.dtype)
+                trans = self.non_rigid_mlp.apply(
+                    params["non_rigid_mlp"], zero_embed,
+                    jnp.zeros((1, 3), xyz.dtype),
+                    non_rigid_input[None])["xyz"]
+                xyz = xyz + trans
+            else:
+                embed = hannw_fourier_embed(xyz, c.nr_multires, iter_val,
+                                            c.nr_kick_in_iter,
+                                            c.nr_full_band_iter)
+                cond = jnp.broadcast_to(non_rigid_input[None],
+                                        (xyz.shape[0],
+                                         non_rigid_input.shape[-1]))
+                xyz = self.non_rigid_mlp.apply(
+                    params["non_rigid_mlp"], embed, xyz, cond)["xyz"]
 
         if not self.is_occnerf_mlp:
             raws = self.cnl_mlp.apply(
@@ -396,7 +418,8 @@ class Network:
                 [flat[perm[:K]], jnp.zeros((1, 3), flat.dtype)], axis=0)
             raws_q, _ = self._query_canonical(
                 params, statics, state, xyz_q, iter_val, non_rigid_input,
-                ignore_non_rigid, vertex_quant, vert_feat)
+                ignore_non_rigid, vertex_quant, vert_feat,
+                training=training)
             raw0 = raws_q[K]
             raws_sorted = jnp.concatenate(
                 [raws_q[:K],
@@ -406,7 +429,8 @@ class Network:
         else:
             raws, _ = self._query_canonical(
                 params, statics, state, flat, iter_val, non_rigid_input,
-                ignore_non_rigid, vertex_quant, vert_feat)
+                ignore_non_rigid, vertex_quant, vert_feat,
+                training=training)
         raw = raws.reshape(n, c.n_samples, -1)
 
         out = raw2outputs(raw, fg_mask, z_vals, rays_d, bgcolor)

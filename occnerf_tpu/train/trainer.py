@@ -205,6 +205,13 @@ class Trainer:
                 self._log_metrics({"iter": self.iter, "epoch": epoch,
                                    "loss": loss, "sec": elapsed,
                                    **scalars})
+                if not np.isfinite(loss):
+                    # failure guard (no reference equivalent): a NaN state
+                    # poisons every later iter and checkpoint — stop so
+                    # the last finite checkpoint stays usable
+                    raise FloatingPointError(
+                        f"non-finite training loss at iter {self.iter}; "
+                        "aborting before overwriting checkpoints")
 
             is_reload_model = False
             if self.iter in PROGRESS_EXTRA_ITERS or \

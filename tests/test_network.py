@@ -244,3 +244,53 @@ def test_zero_point_dist_keeps_gradients_finite(setup):
     assert np.isfinite(float(val))
     for leaf in jax.tree.leaves(g):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_inert_non_rigid_fast_path_exact(setup):
+    """When the non-rigid MLP cannot kick in before maxiter, its offset
+    is a per-frame constant — the broadcast fast path must match the full
+    per-sample evaluation exactly (values and gradients)."""
+    import dataclasses
+
+    _, params, state, _, batch = setup
+
+    def build(maxiter):
+        net = _mini_network()
+        net.cfg = dataclasses.replace(net.cfg, nr_kick_in_iter=1000,
+                                      train_maxiter=maxiter)
+        return net
+
+    net_fast = build(100)          # 1000 >= 100: inert -> fast path
+    net_full = build(10 ** 9)      # full per-sample evaluation
+    assert net_fast.cfg.non_rigid_inert_in_train
+    assert not net_full.cfg.non_rigid_inert_in_train
+    from occnerf_tpu.smpl import synthetic_smpl_model
+    from occnerf_tpu.smpl.model import SMPL, save_model
+    import tempfile, os
+    model = synthetic_smpl_model(n_verts=128, seed=2)
+    d = tempfile.mkdtemp()
+    save_model(model, os.path.join(
+        d, "basicModel_neutral_lbs_10_207_0_v1.0.0.pkl"))
+    smpl = SMPL(model_dir=d)
+    verts, joints = smpl(np.zeros(72), np.zeros(10))
+    statics = net_fast.generate_neural_points(verts, joints, smpl.faces)
+    net_full.generate_neural_points(verts, joints, smpl.faces)
+    params, state = net_fast.init(jax.random.PRNGKey(0), statics)
+
+    def run(net, p):
+        out, _ = net.forward(p, statics, state, batch, 50.0,
+                             training=True, perturb=0.0)
+        return out
+
+    out_a, out_b = run(net_fast, params), run(net_full, params)
+    np.testing.assert_allclose(np.asarray(out_a["rgb"]),
+                               np.asarray(out_b["rgb"]), atol=1e-6)
+
+    def loss(net):
+        return lambda p: jnp.mean(run(net, p)["rgb"])
+
+    g_a = jax.grad(loss(net_fast))(params)
+    g_b = jax.grad(loss(net_full))(params)
+    for a, b in zip(jax.tree.leaves(g_a), jax.tree.leaves(g_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6)
