@@ -190,3 +190,22 @@ def test_trainer_resume_roundtrip(subject_dir, tmp_path):
     b = jax.tree_util.tree_leaves(trainer2.params)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_trainer_aborts_on_nonfinite_loss(subject_dir, tmp_path):
+    """The non-finite-loss guard stops training before a NaN state is
+    checkpointed over the last finite one."""
+    _tiny_cfg(subject_dir, tmp_path)
+    from occnerf_tpu.data import create_dataloader
+    from occnerf_tpu.train import create_trainer
+
+    network, statics, params, state = _build(subject_dir)
+    trainer = create_trainer(network, statics, params, state)
+    loader = create_dataloader("train")
+
+    def nan_step(p, s, o, st, lp, b, it, key):
+        return p, s, o, jnp.float32(np.nan), {"mse": jnp.float32(np.nan)}
+
+    trainer._train_step = nan_step
+    with pytest.raises(FloatingPointError):
+        trainer.train(0, loader)
