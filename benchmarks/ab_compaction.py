@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Sample-compaction convergence A/B at flagship scale.
+
+Trains the flagship OccNeRF recipe for a fixed iteration budget at each
+``tpu.sample_compaction`` arm on a synthetic subject, then runs the full
+eval metric stack (PSNR/SSIM per region + IoU) on the held-out split and
+prints one JSON line per arm.  Used to validate compaction promotions on
+additional subjects (docs/ROADMAP.md records the results).
+
+    python benchmarks/ab_compaction.py --seed 1 --iters 300 \
+        --arms 1.0,0.5,0.375
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                os.pardir))
+
+
+def run_arm(subject_path: str, compaction: float, iters: int,
+            seed: int, log2_hashmap: int = 14) -> dict:
+    import numpy as np
+
+    from occnerf_tpu.config import cfg, get_default_cfg, set_cfg
+
+    tmp = tempfile.mkdtemp()
+    c = get_default_cfg()
+    c.synthetic_dataset_path = subject_path
+    c.canonical_mlp.module = "core.nets.occnerf.canonical_mlps.occnerf_mlp"
+    c.canonical_mlp.mlp_depth = 4
+    c.canonical_mlp.mlp_width = 256
+    c.canonical_mlp.log2_hashmap_size = log2_hashmap
+    c.pose_decoder.kick_in_iter = 2_000_000
+    c.non_rigid_motion_mlp.kick_in_iter = 100_000
+    c.tpu.sample_compaction = compaction
+    c.tpu.train_chunk = 512
+    c.train.maxiter = iters
+    c.train.log_interval = 100
+    c.train.save_checkpt_interval = 10 ** 9
+    c.progress.dump_interval = 10 ** 9
+    c.movement.dataset = "synthetic_test"
+    c.logdir = os.path.join(tmp, "logs")
+    set_cfg(c)
+
+    from occnerf_tpu.app import build_model
+    from occnerf_tpu.data import create_dataloader
+    from occnerf_tpu.train import create_trainer
+
+    loader = create_dataloader("train")
+    network, statics, params, state = build_model(loader.dataset.subject)
+    trainer = create_trainer(network, statics, params, state)
+
+    t0 = time.time()
+    n_timed = 0
+    while trainer.iter <= iters:
+        done = trainer.train(0, loader)
+        if done:
+            break
+    import jax
+    jax.block_until_ready(trainer.params)
+    wall = time.time() - t0
+
+    # eval with the trained in-memory params (full eval.py metric stack)
+    cfg.perturb = 0.0
+    cfg.bgcolor = [255.0, 255.0, 255.0]
+    trainer.save_ckpt("latest")
+    import eval as eval_entry
+    means = eval_entry.eval_model(render_folder_name=f"ab_{compaction}")
+    means.update({"compaction": compaction, "iters": iters, "seed": seed,
+                  "log2_hashmap": log2_hashmap,
+                  "wall_sec": round(wall, 1),
+                  "sec_per_iter": round(wall / max(iters, 1), 3)})
+    return means
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seed", type=int, default=1,
+                    help="synthetic-subject geometry seed")
+    ap.add_argument("--iters", type=int, default=300)
+    ap.add_argument("--arms", type=str, default="1.0,0.5,0.375")
+    ap.add_argument("--log2", type=str, default="14",
+                    help="comma list of log2_hashmap_size arms (e.g. "
+                         "'14,19' to A/B the reference-exact 2^19 "
+                         "geometry against the MXU-capped 2^14)")
+    ap.add_argument("--img-size", type=int, default=512)
+    ap.add_argument("--frames", type=int, default=8)
+    args = ap.parse_args()
+
+    from occnerf_tpu.data.synthetic import make_synthetic_subject
+    subject_path = os.path.join(tempfile.mkdtemp(), "subject")
+    make_synthetic_subject(subject_path, n_frames=args.frames,
+                           img_size=args.img_size, n_verts=1024,
+                           seed=args.seed)
+
+    for log2 in [int(a) for a in args.log2.split(",")]:
+        for arm in [float(a) for a in args.arms.split(",")]:
+            res = run_arm(subject_path, arm, args.iters, args.seed,
+                          log2_hashmap=log2)
+            print("AB_RESULT " + json.dumps(res), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -32,13 +32,21 @@ def main() -> None:
     make_synthetic_subject(subject_path, n_frames=2, img_size=512,
                            n_verts=1024, seed=0)
 
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--eval-chunk", type=int, default=2048,
+                    help="rays per render chunk (tpu.eval_chunk)")
+    ap.add_argument("--compaction", type=float, default=0.5)
+    args = ap.parse_args()
+
     c = get_default_cfg()
     c.synthetic_dataset_path = subject_path
     c.canonical_mlp.module = "core.nets.occnerf.canonical_mlps.occnerf_mlp"
     c.canonical_mlp.mlp_depth = 4
     c.canonical_mlp.log2_hashmap_size = 14
     # recommended TPU configuration (see bench.py / docs/ROADMAP.md)
-    c.tpu.sample_compaction = 0.5
+    c.tpu.sample_compaction = args.compaction
+    c.tpu.eval_chunk = args.eval_chunk
     c.logdir = os.path.join(tmp, "logs")
     set_cfg(c)
 
@@ -72,7 +80,8 @@ def main() -> None:
     dt = float(np.median(times))
     print(f"render {n_rays} rays x {c.N_samples} samples: "
           f"{dt * 1000:.0f} ms -> {n_rays / dt:.0f} rays/s/chip "
-          f"(512x512 tpose camera, occnerf MLP)")
+          f"(512x512 tpose camera, occnerf MLP, eval_chunk "
+          f"{args.eval_chunk}, compaction {args.compaction})")
 
 
 if __name__ == "__main__":

@@ -18,15 +18,25 @@ import numpy as np
 from occnerf_tpu.config import cfg, make_cfg, parse_args
 
 
+def lpips_metric(model, pred, target):
+    """LPIPS distance between two [0,1] HxWx3 images (defined but not
+    called inside the eval loop — mirroring the reference, `eval.py:90-97`,
+    whose LPIPS model is instantiated yet unused)."""
+    import jax.numpy as jnp
+
+    from occnerf_tpu.metrics.lpips import scale_for_lpips
+    d = model[0].apply(model[1],
+                       scale_for_lpips(jnp.asarray(pred)[None]),
+                       scale_for_lpips(jnp.asarray(target)[None]))
+    return float(d.reshape(()))
+
+
 def eval_model(render_folder_name: str = "eval", show_truth: bool = True,
                show_alpha: bool = True) -> dict:
-    import jax
-
-    from occnerf_tpu.app import load_network_for_eval
+    from occnerf_tpu.app import load_network_for_eval, make_renderer
     from occnerf_tpu.data import create_dataloader, unpack_to_image
     from occnerf_tpu.metrics import (completeness_iou, psnr_metric,
                                      structural_similarity)
-    from occnerf_tpu.train.trainer import _device_batch
     from occnerf_tpu.utils.image import ImageWriter, to_8b3ch_image, \
         to_8b_image
 
@@ -39,19 +49,15 @@ def eval_model(render_folder_name: str = "eval", show_truth: bool = True,
     writer = ImageWriter(output_dir=os.path.join(cfg.logdir, cfg.load_net),
                          exp_name=render_folder_name)
 
-    @jax.jit
-    def render(params, state, batch):
-        out, _ = network.forward(
-            params, statics, state, batch, float(cfg.eval_iter),
-            training=False, perturb=0.0)
-        return out
+    render = make_renderer(network, statics, params, state,
+                           ignore_non_rigid=False)
 
     acc = {k: [] for k in ("psnr_vis", "ssim_vis", "psnr_body", "ssim_body",
                            "psnr_full", "ssim_full", "iou")}
     bg = np.asarray(cfg.bgcolor, np.float32) / 255.0
 
     for idx, batch in enumerate(loader):
-        out = render(params, state, _device_batch(batch))
+        out = render(batch)
         H, W = batch["img_height"], batch["img_width"]
         n = int(batch["n_valid_rays"])
         ray_mask = batch["ray_mask"]
@@ -118,6 +124,10 @@ def main() -> None:
     make_cfg()
     cfg.bgcolor = [255.0, 255.0, 255.0]
     cfg.eval = True
+    # the reference instantiates LPIPS here (eval.py:122-124) though its
+    # loop never calls it; surface the weights status loudly either way
+    from occnerf_tpu.metrics.lpips import LPIPS
+    LPIPS.warn_if_random("eval")
     eval_model(render_folder_name="eval")
 
 

@@ -38,11 +38,23 @@ def load_smpl(dataset_path: Optional[str] = None) -> SMPL:
         "SMPL pkl under cfg.smpl_model_dir or use the synthetic subject.")
 
 
+def apply_tpu_settings() -> None:
+    """Apply cfg.tpu ops knobs (compute dtype, KNN recall, hash-grid
+    backend) — must run before the first jit trace of the model."""
+    from .ops import (set_compute_dtype, set_hashgrid_backend,
+                      set_knn_recall)
+    tpu = cfg.get("tpu", {})
+    set_compute_dtype(tpu.get("compute_dtype", "float32"))
+    set_knn_recall(tpu.get("knn_recall", 0.95))
+    set_hashgrid_backend(tpu.get("hashgrid_backend", "auto"))
+
+
 def build_model(subject, dataset_path: Optional[str] = None,
                 seed: Optional[int] = None
                 ) -> Tuple[Any, Dict[str, Any], Dict[str, Any],
                            Dict[str, Any]]:
     """(network, statics, params, state) for a loaded SubjectData."""
+    apply_tpu_settings()
     smpl = load_smpl(dataset_path or subject.dataset_path)
     verts, joints = smpl(np.zeros(smpl.n_joints * 3), subject.avg_betas)
     network = create_network()
@@ -76,3 +88,53 @@ def load_network_for_eval(subject, dataset_path: Optional[str] = None):
         print(f"[WARN] checkpoint '{name}' not found in {cfg.logdir}; "
               "rendering with fresh init")
     return network, statics, params, state
+
+
+def make_renderer(network, statics, params, state,
+                  iter_val: Optional[float] = None,
+                  ignore_non_rigid: Optional[bool] = None):
+    """Jitted ``render(batch) -> out`` shared by run.py/eval.py.
+
+    When more than one device is visible, the padded ray buckets are
+    sharded over the 1-D data mesh and params/state replicate — the same
+    layout the Trainer uses (the reference deploys its MLPs across all
+    GPUs for rendering too, `run.py:26-37` deploy_mlps_to_secondary_gpus).
+    Eval buckets are multiples of ``tpu.eval_ray_bucket`` so divisibility
+    by the mesh always holds (buckets are >= 1024 and device counts are
+    powers of two).
+    """
+    from .parallel import make_mesh, replicated, shard_batch
+    from .train.trainer import EXCLUDE_KEYS_TO_GPU
+
+    import jax.numpy as jnp
+
+    mesh = make_mesh()
+    if mesh.devices.size <= 1:
+        mesh = None
+    else:
+        params = replicated(mesh, params)
+        state = replicated(mesh, state)
+        statics = replicated(mesh, statics)
+
+    it = float(cfg.eval_iter if iter_val is None else iter_val)
+    inr = bool(cfg.ignore_non_rigid_motions
+               if ignore_non_rigid is None else ignore_non_rigid)
+
+    @jax.jit
+    def _render(params, state, statics, batch):
+        out, _ = network.forward(params, statics, state, batch, it,
+                                 training=False, perturb=0.0,
+                                 ignore_non_rigid=inr)
+        return out
+
+    def render(batch):
+        host = {k: v for k, v in batch.items()
+                if k not in EXCLUDE_KEYS_TO_GPU}
+        if mesh is not None and \
+                batch["near"].shape[0] % mesh.devices.size == 0:
+            dbatch = shard_batch(mesh, host)
+        else:
+            dbatch = {k: jnp.asarray(v) for k, v in host.items()}
+        return _render(params, state, statics, dbatch)
+
+    return render

@@ -105,9 +105,31 @@ def _parse_derived(c: CfgNode) -> None:
         c.get("subject", "subject"), c.get("experiment", "experiment"))
 
 
+def _merge_yaml_with_base(c: CfgNode, path: str, _depth: int = 0) -> None:
+    """Merge a yaml file into ``c``, honouring an optional top-level
+    ``_base_: <relative path>`` key (merged first, recursively).
+
+    Beyond-reference addition that keeps overlay configs (e.g. the
+    ``occnerf_tpu.yaml`` TPU recipes) free of duplicated subject blocks;
+    plain reference-style yamls have no ``_base_`` and behave unchanged.
+    """
+    import yaml
+
+    if _depth > 8:
+        raise ValueError(f"_base_ chain too deep at {path}")
+    with open(path) as f:
+        d = yaml.safe_load(f) or {}
+    base = d.pop("_base_", None)
+    if base:
+        _merge_yaml_with_base(
+            c, os.path.join(os.path.dirname(path), base), _depth + 1)
+    c.merge_from_dict(d)
+
+
 def make_cfg(a: Optional[_Args] = None) -> CfgNode:
     """defaults -> (optional default.yaml next to subject cfg) -> subject
-    yaml -> CLI opt list, then derive logdir."""
+    yaml (with optional ``_base_`` chain) -> CLI opt list, then derive
+    logdir."""
     a = a or args
     c = get_default_cfg()
     if a.cfg:
@@ -117,7 +139,7 @@ def make_cfg(a: Optional[_Args] = None) -> CfgNode:
             if os.path.exists(cand) and os.path.abspath(cand) != os.path.abspath(a.cfg):
                 c.merge_from_file(cand)
                 break
-        c.merge_from_file(a.cfg)
+        _merge_yaml_with_base(c, a.cfg)
     if a.opts:
         c.merge_from_list(a.opts)
     _parse_derived(c)

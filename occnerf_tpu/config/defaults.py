@@ -179,13 +179,16 @@ def get_default_cfg() -> CfgNode:
     c.tpu = CfgNode(dict(
         mesh_shape=[-1],            # -1: use all local devices on one axis
         mesh_axis_names=["data"],
-        param_dtype="float32",
         compute_dtype="float32",    # bfloat16 optionally for MLP interiors
         knn_backend="approx",       # 'approx' (lax.approx_max_k) | 'exact'
         knn_recall=0.95,            # approx_max_k recall target
-        hashgrid_backend="xla",     # 'xla' gather | 'pallas'
+        # per-sample hash-grid encode backend: 'auto' | 'pallas' (MXU
+        # one-hot, tables <= 2^15) | 'sorted' (scatter-free sorted
+        # backward, any size) | 'xla' (AD oracle path)
+        hashgrid_backend="auto",
         eval_ray_bucket=8192,       # rays padded to a multiple of this at eval
         train_chunk=1024,           # rays per rematerialized train chunk
+        eval_chunk=2048,            # rays per eval/render chunk (occnerf mlp)
         # occupancy-guided sample compaction: fraction of per-chunk samples
         # (ranked by foreground likelihood) queried through the canonical
         # MLP; 1.0 = off.  Exact when every positive-likelihood sample

@@ -81,6 +81,23 @@ class LPIPS:
                        ) -> bool:
         return os.path.exists(path)
 
+    @staticmethod
+    def warn_if_random(context: str,
+                       path: str = "third_parties/lpips/lpips_vgg.npz"
+                       ) -> bool:
+        """Loud one-line banner when no converted pretrained weights
+        exist — every entry point that touches LPIPS parity must be
+        impossible to misread (the reference trains against pretrained
+        VGG-LPIPS, `third_parties/lpips/lpips.py:81-108`).  Returns True
+        when pretrained weights are present."""
+        if LPIPS.has_pretrained(path):
+            return True
+        print(f"[{context}] ***** LPIPS FALLBACK: no converted VGG "
+              f"weights at {path}; using FIXED RANDOM VGG features — "
+              "perceptual numbers are NOT reference-parity (run "
+              "tools/convert_lpips_weights.py) *****")
+        return False
+
     # ------------------------------------------------------------------
     def features(self, params, x: jnp.ndarray) -> List[jnp.ndarray]:
         """VGG16 tap activations for NHWC input in [-1, 1]."""

@@ -21,7 +21,8 @@ import jax.numpy as jnp
 import jax as _jax
 from jax import ad_checkpoint as _adc
 
-from ..ops.hashgrid import HashGridSpec, hash_grid_encode
+from ..ops.hashgrid import (HashGridSpec, hash_grid_encode,
+                            hash_grid_encode_sorted)
 from ..ops import hashgrid_pallas
 from .layers import RELU_GAIN, init_linear, linear
 
@@ -29,12 +30,26 @@ from .layers import RELU_GAIN, init_linear, linear
 def _encode_no_input_grad(x, table, spec):
     """Hash-grid encode for inputs that carry no gradient.
 
-    On TPU with kernel-compatible specs this takes the MXU one-hot path
-    (hashgrid_pallas — the XLA gather/scatter lowering costs ~15 s per
-    reference-scale step); otherwise the XLA reference path.
+    Backend per ``cfg.tpu.hashgrid_backend`` (ops.set_hashgrid_backend):
+    'auto' takes the MXU one-hot Pallas path for kernel-compatible specs
+    (tables <= 2^15), the sorted scatter-free backward for bigger tables
+    on TPU (the XLA AD scatter lowering costs ~14 s per reference-scale
+    step at 2^19), and the plain XLA path off-TPU.
     """
-    if _jax.default_backend() == "tpu" and hashgrid_pallas.supports(spec):
+    from .. import ops as _ops
+    backend = _ops.HASHGRID_BACKEND
+    on_tpu = _jax.default_backend() == "tpu"
+    if backend == "auto":
+        if on_tpu and hashgrid_pallas.supports(spec):
+            backend = "pallas"
+        elif on_tpu:
+            backend = "sorted"
+        else:
+            backend = "xla"
+    if backend == "pallas":
         out = hashgrid_pallas.hash_grid_encode_tpu(x, table, spec)
+    elif backend == "sorted":
+        out = hash_grid_encode_sorted(x, table, spec)
     else:
         out = hash_grid_encode(x, table, spec)
     # saved (not recomputed) under the training remat policy

@@ -54,6 +54,9 @@ class NetworkConfig:
     # training rays are chunked + rematerialized: the per-sample KNN
     # feature tensors (N, 4k, C) otherwise blow past HBM with AD residuals
     train_chunk: int = 1024
+    # eval/render ray chunk for the occnerf MLP (no AD residuals, but the
+    # gathered (N*S, 4k, 35->128-lane) feature tensor still bounds HBM)
+    eval_chunk: int = 2048
     # occupancy-guided sample compaction (beyond-reference, tpu knob):
     # query the canonical MLP only for the top `sample_compaction`
     # fraction of samples per chunk ranked by foreground likelihood.
@@ -107,6 +110,7 @@ class NetworkConfig:
             n_samples=c.N_samples,
             chunk=c.get("tpu", {}).get("eval_ray_bucket", 8192) or 8192,
             train_chunk=int(c.get("tpu", {}).get("train_chunk", 1024)),
+            eval_chunk=int(c.get("tpu", {}).get("eval_chunk", 2048)),
             sample_compaction=float(
                 c.get("tpu", {}).get("sample_compaction", 1.0)),
             bbox_offset=c.bbox_offset,
@@ -406,10 +410,11 @@ class Network:
             # likelihood and query only the top K (+ one probe of the
             # canonical origin, where every zero-likelihood sample lands
             # exactly — wsum == 0 means all corner weights were zero).
-            # Dropped samples get raw = 0; their alpha is zeroed by the
-            # mask multiply in raw2outputs just as the reference zeroes
-            # ~0-likelihood samples, and the completeness loss is
-            # corrected exactly below.
+            # Dropped samples contribute exactly nothing: a kept-indicator
+            # is multiplied into the compositing mask below (raw = 0 alone
+            # would leak softplus(0) = ln2 density scaled by the sample's
+            # small mask), and the completeness loss is corrected exactly
+            # below.
             mflat = jax.lax.stop_gradient(fg_mask.reshape(-1))
             iota = jnp.arange(ns_all, dtype=jnp.int32)
             _, perm = jax.lax.sort_key_val(-mflat, iota)
@@ -426,6 +431,12 @@ class Network:
                  jnp.zeros((ns_all - K, raws_q.shape[-1]), raws_q.dtype)],
                 axis=0)
             raws = _permute_rows(raws_sorted, iperm, perm)
+            # zero the compositing mask of dropped rows so they carry no
+            # phantom density (sorted rank >= K means the row was dropped)
+            kept = jax.lax.stop_gradient(
+                (iperm < K).astype(fg_mask.dtype)).reshape(
+                    n, c.n_samples, 1)
+            fg_mask = fg_mask * kept
         else:
             raws, _ = self._query_canonical(
                 params, statics, state, flat, iter_val, non_rigid_input,
@@ -545,7 +556,7 @@ class Network:
                 # 35 -> 128 on TPU: big eval chunks blow HBM.  Eval has no
                 # AD residuals, so its cap is independent of train_chunk.
                 chunk = self.cfg.train_chunk if training else min(
-                    self.cfg.chunk, 2048)
+                    self.cfg.chunk, self.cfg.eval_chunk)
             else:
                 chunk = self.cfg.chunk
 

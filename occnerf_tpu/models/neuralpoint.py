@@ -76,3 +76,52 @@ class NeuralPoint:
         of the network's signed-distance computation)."""
         d, _ = knn(queries, self.points, k, backend=backend)
         return jnp.mean(d, axis=-1)
+
+    # ------------------------------------------------------------------
+    # voxel-bucketed fast KNN (reference neuralpoint.py:114-199: a res^3
+    # grid whose cells precompute candidate neighbours; queries then run
+    # exact KNN against their cell's candidates only)
+    # ------------------------------------------------------------------
+    def fast_knn_preprocess(self, res: int = 100, num: int = 30) -> None:
+        """Precompute, per grid cell and per FPS level, the ``num``
+        nearest cloud points to the cell centre.  One-time host cost
+        O(res^3 * V); queries become O(num) instead of O(V)."""
+        pts = np.asarray(self.points)
+        self.res = int(res)
+        self.num_candidates = int(num)
+        self.mmin = jnp.asarray(pts.min(axis=0) - 0.05)
+        self.mmax = jnp.asarray(pts.max(axis=0) + 0.05)
+
+        step = (np.asarray(self.mmax) - np.asarray(self.mmin)) / res
+        axes = [np.asarray(self.mmin)[d] + step[d] * np.arange(res)
+                for d in range(3)]
+        gx, gy, gz = np.meshgrid(*axes, indexing="ij")
+        centres = jnp.asarray(
+            np.stack([gx, gy, gz], axis=-1).reshape(-1, 3), jnp.float32)
+
+        self.index_book: List[jnp.ndarray] = []
+        for level_idx in [None] + list(range(len(self.fps_idx))):
+            cloud = (self.points if level_idx is None
+                     else self.points[self.fps_idx[level_idx]])
+            kk = min(num, cloud.shape[0])
+            _, idx = knn(centres, cloud, kk, backend="exact")
+            self.index_book.append(idx)                   # (res^3, num)
+
+    def fast_knn(self, queries: jnp.ndarray, level: int, k: int
+                 ) -> jnp.ndarray:
+        """Approximate k-NN of ``queries`` into FPS level ``level``
+        (-1 = base cloud) using only the precomputed per-cell candidates.
+        Returns (N, k) indices into that level's cloud."""
+        assert hasattr(self, "index_book"), "run fast_knn_preprocess first"
+        book = self.index_book[level + 1]
+        cloud = (self.points if level < 0
+                 else self.points[self.fps_idx[level]])
+        step = (self.mmax - self.mmin) / self.res
+        cell = jnp.clip(jnp.floor((queries - self.mmin) / step),
+                        0, self.res - 1).astype(jnp.int32)     # (N, 3)
+        flat = (cell[:, 0] * self.res + cell[:, 1]) * self.res + cell[:, 2]
+        cand = book[flat]                                      # (N, num)
+        cpts = cloud[cand]                                     # (N, num, 3)
+        d2 = jnp.sum((queries[:, None, :] - cpts) ** 2, axis=-1)
+        _, local = jax.lax.top_k(-d2, k)                       # (N, k)
+        return jnp.take_along_axis(cand, local, axis=1)

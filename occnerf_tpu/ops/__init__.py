@@ -21,3 +21,23 @@ def set_knn_recall(recall: float) -> None:
     faster with negligible downstream effect).  Set before jit tracing."""
     from . import knn as _knn
     _knn.APPROX_RECALL = float(recall)
+
+
+# backend for the hot per-sample hash-grid encode (cfg.tpu.hashgrid_backend):
+#   'auto'   — MXU one-hot Pallas kernel when the spec fits (tables
+#              <= 2^15), else the sorted scatter-free backward; the XLA
+#              AD path off-TPU
+#   'pallas' — force the MXU kernel (errors if the spec is unsupported)
+#   'sorted' — force the sort/segmented-scan backward
+#   'xla'    — plain XLA gather with AD scatter backward (oracle path)
+HASHGRID_BACKEND = "auto"
+
+
+def set_hashgrid_backend(name: str) -> None:
+    """Select the per-sample hash-grid encode backend (see above).
+    Must run BEFORE the first jit trace of the model."""
+    global HASHGRID_BACKEND
+    name = str(name)
+    if name not in ("auto", "pallas", "sorted", "xla"):
+        raise ValueError(f"unknown hashgrid backend {name!r}")
+    HASHGRID_BACKEND = name

@@ -101,6 +101,49 @@ def _corner_bits(D: int) -> np.ndarray:
     return ((np.arange(n)[:, None] >> np.arange(D)[None, :]) & 1).astype(np.int32)
 
 
+def _level_corner_indices(x: jnp.ndarray, spec: HashGridSpec, lvl: int):
+    """Per-corner (table index, lerp weight) for one level.
+
+    Returns ``idx`` (2^D, N) int32 table rows WITHOUT the level offset and
+    ``w`` (2^D, N) weights.  Shared by the forward lerp and the sorted
+    backward (which recomputes them instead of saving 2^D x N residuals).
+    """
+    D = spec.input_dim
+    xt = x.T                                                    # (D, N)
+    bits = _corner_bits(D)
+    scale = jnp.asarray(spec.scales[lvl], x.dtype)
+    hsize = spec.offsets[lvl + 1] - spec.offsets[lvl]
+    pos = xt * scale + 0.5
+    pos_grid = jnp.floor(pos)
+    frac = pos - pos_grid
+    pos_grid = pos_grid.astype(jnp.uint32)
+
+    strides = [1]
+    for d in range(1, D):
+        strides.append((strides[-1] * (spec.resolutions[lvl] + 1))
+                       & 0xFFFFFFFF)
+
+    idx_list, w_list = [], []
+    for ci in range(1 << D):
+        w = None
+        idx = None
+        h = None
+        for d in range(D):
+            corner_d = pos_grid[d] + jnp.uint32(bits[ci, d])
+            wd = frac[d] if bits[ci, d] else (1.0 - frac[d])
+            w = wd if w is None else w * wd
+            if spec.use_hash[lvl]:
+                term = corner_d * jnp.uint32(_PRIMES[d])
+                h = term if h is None else h ^ term
+            else:
+                term = corner_d * jnp.uint32(strides[d])
+                idx = term if idx is None else idx + term
+        idx = h if spec.use_hash[lvl] else idx
+        idx_list.append((idx % jnp.uint32(hsize)).astype(jnp.int32))
+        w_list.append(w)
+    return jnp.stack(idx_list), jnp.stack(w_list)
+
+
 def hash_grid_encode(inputs: jnp.ndarray, table: jnp.ndarray,
                      spec: HashGridSpec) -> jnp.ndarray:
     """Encode points in [0, 1]^D -> (N, L*C) features.
@@ -167,3 +210,96 @@ def hash_grid_encode(inputs: jnp.ndarray, table: jnp.ndarray,
     feat = jnp.concatenate(feats, axis=-1)                      # (N, L*C)
     feat = jnp.where(oob[:, None], 0.0, feat)
     return feat.reshape(inputs.shape[:-1] + (L * C,))
+
+
+# ---------------------------------------------------------------------------
+# Sorted backward for big (2^19) tables
+# ---------------------------------------------------------------------------
+# The AD backward of ``hash_grid_encode`` is a scatter-add of N x 2^D
+# contributions per level; XLA's TPU scatter lowering is effectively serial
+# (~14 s/step at the reference-flagship 2^19 x 16-level geometry).  The
+# TPU-native formulation is scatter-free: sort the (index, contribution)
+# pairs per level, segmented-scan exact per-segment sums, then *gather*
+# each table row's total via a binary-search boundary lookup.  Everything
+# is a sort / scan / gather — all well-lowered on TPU.
+
+
+def _segmented_sums(keys: jnp.ndarray, vals: jnp.ndarray, n_rows: int
+                    ) -> jnp.ndarray:
+    """Sum ``vals`` rows by sorted ``keys`` into a (n_rows, C) array.
+
+    ``keys`` (M,) int32 sorted ascending in [0, n_rows); ``vals`` (M, C).
+    Exact per-segment sums (segmented inclusive scan — no prefix-sum
+    cancellation), then one searchsorted over the n_rows+1 boundaries.
+    """
+    start = jnp.concatenate(
+        [jnp.ones((1,), bool), keys[1:] != keys[:-1]])
+
+    def combine(a, b):
+        a_flag, a_sum = a
+        b_flag, b_sum = b
+        return (a_flag | b_flag,
+                jnp.where(b_flag, b_sum, a_sum + b_sum))
+
+    _, scan = jax.lax.associative_scan(
+        combine, (start[:, None], vals), axis=0)
+
+    bounds = jnp.searchsorted(keys, jnp.arange(n_rows + 1)).astype(jnp.int32)
+    left, right = bounds[:-1], bounds[1:]
+    seg_end = jnp.clip(right - 1, 0, keys.shape[0] - 1)
+    return jnp.where((right > left)[:, None], scan[seg_end], 0.0)
+
+
+def _table_grad_sorted(x: jnp.ndarray, oob: jnp.ndarray, g: jnp.ndarray,
+                       spec: HashGridSpec) -> jnp.ndarray:
+    """d(loss)/d(table) from upstream feature grads ``g`` (N, L*C)."""
+    C = spec.level_dim
+    g = jnp.where(oob[:, None], 0.0, g)
+    grads = []
+    for lvl in range(spec.num_levels):
+        idx, w = _level_corner_indices(x, spec, lvl)      # (2^D, N) each
+        g_lvl = g[:, lvl * C:(lvl + 1) * C]               # (N, C)
+        contrib = (w[..., None] * g_lvl[None, :, :]).reshape(-1, C)
+        keys = idx.reshape(-1)
+        keys, *cols = jax.lax.sort(
+            (keys, *(contrib[:, c] for c in range(C))), num_keys=1)
+        vals = jnp.stack(cols, axis=-1)
+        hsize = spec.offsets[lvl + 1] - spec.offsets[lvl]
+        grads.append(_segmented_sums(keys, vals, hsize))
+    return jnp.concatenate(grads, axis=0)                 # (table_size, C)
+
+
+import functools
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def hash_grid_encode_sorted(inputs: jnp.ndarray, table: jnp.ndarray,
+                            spec: HashGridSpec) -> jnp.ndarray:
+    """``hash_grid_encode`` with the sort-based table backward.
+
+    Contract: inputs carry NO gradient (the caller stop-gradients them —
+    the per-sample encode path, `canonical.py::_encode_no_input_grad`);
+    the input cotangent returned is zeros.  Forward numerics are identical
+    to ``hash_grid_encode``.
+    """
+    return hash_grid_encode(inputs, table, spec)
+
+
+def _hges_fwd(inputs, table, spec):
+    out = hash_grid_encode(inputs, table, spec)
+    return out, inputs
+
+
+def _hges_bwd(spec, inputs, g):
+    D = spec.input_dim
+    x = inputs.reshape(-1, D)
+    if not jnp.issubdtype(x.dtype, jnp.floating):
+        x = x.astype(jnp.float32)
+    oob = jnp.any((x < 0.0) | (x > 1.0), axis=-1)
+    xc = jnp.clip(x, 0.0, 1.0)
+    g2 = g.reshape(-1, spec.output_dim).astype(jnp.float32)
+    dtable = _table_grad_sorted(xc, oob, g2, spec)
+    return jnp.zeros_like(inputs), dtable
+
+
+hash_grid_encode_sorted.defvjp(_hges_fwd, _hges_bwd)

@@ -27,9 +27,21 @@ def make_mesh(devices: Optional[Sequence] = None,
     """1-D data mesh over all (or the given) devices.
 
     Shape/axis names come from ``cfg.tpu.mesh_shape`` /
-    ``cfg.tpu.mesh_axis_names``; a -1 entry means "all devices".
+    ``cfg.tpu.mesh_axis_names``; a -1 entry means "all devices".  When
+    ``devices`` is not given, ``mesh_shape=[n]`` takes the first n local
+    devices (n must not exceed the local device count).
     """
-    devices = list(devices if devices is not None else jax.devices())
+    if devices is None:
+        devices = jax.devices()
+        shape = cfg.get("tpu", {}).get("mesh_shape", [-1])
+        n = int(shape[0]) if shape else -1
+        if n > 0:
+            if n > len(devices):
+                raise ValueError(
+                    f"tpu.mesh_shape requests {n} devices but only "
+                    f"{len(devices)} are visible")
+            devices = devices[:n]
+    devices = list(devices)
     names = cfg.get("tpu", {}).get("mesh_axis_names", ["data"])
     axis_name = axis_name or names[0]
     return Mesh(np.asarray(devices), (axis_name,))
@@ -57,10 +69,14 @@ def batch_shardings(mesh: Mesh, batch: Dict[str, Any],
 
 
 def shard_batch(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
-    """device_put each batch array with its sharding."""
-    import jax.numpy as jnp
+    """device_put each batch array with its sharding.
+
+    Host numpy arrays go straight to their target shards (no staging copy
+    through the default device).
+    """
     shardings = batch_shardings(mesh, batch)
-    return {k: jax.device_put(jnp.asarray(v), shardings[k])
+    return {k: jax.device_put(
+                v if hasattr(v, "ndim") else np.asarray(v), shardings[k])
             for k, v in batch.items()}
 
 

@@ -47,10 +47,13 @@ def _device_batch(batch: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
 class Trainer:
     def __init__(self, network, statics, params, state,
                  progress_loader=None):
-        from ..ops import set_compute_dtype, set_knn_recall
+        from ..ops import (set_compute_dtype, set_hashgrid_backend,
+                           set_knn_recall)
         set_compute_dtype(cfg.get("tpu", {}).get("compute_dtype",
                                                  "float32"))
         set_knn_recall(cfg.get("tpu", {}).get("knn_recall", 0.95))
+        set_hashgrid_backend(cfg.get("tpu", {}).get("hashgrid_backend",
+                                                    "auto"))
         self.network = network
         self.statics = statics
         self.params = params
@@ -62,16 +65,34 @@ class Trainer:
         if "lpips" in cfg.train.lossweights:
             self.lpips = LPIPS()
             npz = os.path.join("third_parties", "lpips", "lpips_vgg.npz")
-            if LPIPS.has_pretrained(npz):
+            if LPIPS.warn_if_random("Trainer", npz):
                 self.lpips_params = LPIPS.load_weights(npz)
             else:
-                print("[Trainer] WARNING: no converted LPIPS weights at "
-                      f"{npz}; using fixed random VGG features "
-                      "(run tools/convert_lpips_weights.py for parity)")
                 self.lpips_params = self.lpips.init_random(
                     jax.random.PRNGKey(0))
 
         self.tx, self.opt_state = get_optimizer(self.params)
+
+        # mesh data parallelism (the TPU equivalent of the reference's
+        # default DataParallel training over all local GPUs,
+        # `configs/config.py:36-50` + `network.py:68-72`): when more than
+        # one chip is visible, shard the ray axis over a 1-D mesh and
+        # replicate params/state/optimizer; XLA inserts the gradient psum
+        # and the output all-gather.
+        self.mesh = None
+        from ..parallel import make_mesh
+        mesh = make_mesh()
+        n_rays = cfg.patch.N_patches * cfg.patch.size ** 2
+        if mesh.devices.size > 1:
+            if n_rays % mesh.devices.size == 0:
+                self.mesh = mesh
+                print(f"[Trainer] data-parallel over {mesh.devices.size} "
+                      f"devices ({n_rays} rays/step, "
+                      f"{n_rays // mesh.devices.size}/device)")
+            else:
+                print(f"[Trainer] WARNING: {n_rays} rays/step not "
+                      f"divisible by {mesh.devices.size} devices; "
+                      "training single-device")
 
         self.iter = 0
         if cfg.resume and ckpt.ckpt_exists(self.logdir, cfg.load_net):
@@ -79,6 +100,7 @@ class Trainer:
         else:
             self.save_ckpt("init")
             self.iter = 1
+        self._replicate_all()
 
         self.timer = Timer()
         self.rng = jax.random.PRNGKey(cfg.get("tpu", {}).get("seed", 42))
@@ -94,6 +116,20 @@ class Trainer:
         self._profile_dir = cfg.get("tpu", {}).get("profile_dir", "")
         self._profile_steps = cfg.get("tpu", {}).get("profile_steps", 5)
         self._profiling = False
+
+    # ------------------------------------------------------------------
+    def _replicate_all(self) -> None:
+        """Place params/state/optimizer/statics on the mesh, replicated
+        on every device (no-op single-device)."""
+        if self.mesh is None:
+            return
+        from ..parallel import replicated
+        self.params = replicated(self.mesh, self.params)
+        self.state = replicated(self.mesh, self.state)
+        self.opt_state = replicated(self.mesh, self.opt_state)
+        self.statics = replicated(self.mesh, self.statics)
+        if self.lpips_params is not None:
+            self.lpips_params = replicated(self.mesh, self.lpips_params)
 
     # ------------------------------------------------------------------
     # jitted steps
@@ -165,11 +201,24 @@ class Trainer:
         return jax.jit(render_step)
 
     # ------------------------------------------------------------------
+    def _shard_or_put(self, batch: Dict[str, Any]) -> Dict[str, Any]:
+        """Host batch -> device: ray axis sharded over the mesh when one
+        is active (ray counts from the data layer are always bucket- or
+        patch-padded, so divisibility holds), else default placement."""
+        host = {k: v for k, v in batch.items()
+                if k not in EXCLUDE_KEYS_TO_GPU}
+        if self.mesh is not None:
+            from ..parallel import shard_batch
+            n = batch["near"].shape[0]
+            if n % self.mesh.devices.size == 0:
+                return shard_batch(self.mesh, host)
+        return {k: jnp.asarray(v) for k, v in host.items()}
+
     def train_step(self, batch: Dict[str, Any]):
         if self._train_step is None:
             self._train_step = self._build_train_step()
         self.rng, key = jax.random.split(self.rng)
-        dbatch = _device_batch(batch)
+        dbatch = self._shard_or_put(batch)
         (self.params, self.state, self.opt_state, loss, losses) = \
             self._train_step(self.params, self.state, self.opt_state,
                              self.statics, self.lpips_params, dbatch,
@@ -179,7 +228,7 @@ class Trainer:
     def render(self, batch: Dict[str, Any], iter_val: Optional[int] = None):
         if self._render_step is None:
             self._render_step = self._build_render_step()
-        dbatch = _device_batch(batch)
+        dbatch = self._shard_or_put(batch)
         it = jnp.float32(cfg.eval_iter if iter_val is None else iter_val)
         return self._render_step(self.params, self.state, self.statics,
                                  dbatch, it)
@@ -205,13 +254,7 @@ class Trainer:
                 self._log_metrics({"iter": self.iter, "epoch": epoch,
                                    "loss": loss, "sec": elapsed,
                                    **scalars})
-                if not np.isfinite(loss):
-                    # failure guard (no reference equivalent): a NaN state
-                    # poisons every later iter and checkpoint — stop so
-                    # the last finite checkpoint stays usable
-                    raise FloatingPointError(
-                        f"non-finite training loss at iter {self.iter}; "
-                        "aborting before overwriting checkpoints")
+                self._check_finite(loss)
 
             is_reload_model = False
             if self.iter in PROGRESS_EXTRA_ITERS or \
@@ -220,14 +263,29 @@ class Trainer:
 
             if not is_reload_model:
                 if self.iter % cfg.train.save_checkpt_interval == 0:
+                    # never overwrite 'latest' with a poisoned state, even
+                    # when the save cadence is not a multiple of
+                    # log_interval (the in-log-block check above may not
+                    # have run this iter)
+                    self._check_finite(loss)
                     self.save_ckpt("latest")
                 if cfg.save_all and \
                         self.iter % cfg.train.save_model_interval == 0:
+                    self._check_finite(loss)
                     self.save_ckpt(f"iter_{self.iter}")
                 self.iter += 1
         return self.iter > cfg.train.maxiter
 
     # ------------------------------------------------------------------
+    def _check_finite(self, loss) -> None:
+        """Failure guard (no reference equivalent): a NaN state poisons
+        every later iter and checkpoint — stop so the last finite
+        checkpoint stays usable."""
+        if not np.isfinite(float(loss)):
+            raise FloatingPointError(
+                f"non-finite training loss at iter {self.iter}; "
+                "aborting before overwriting checkpoints")
+
     def _log_metrics(self, record: Dict[str, Any]) -> None:
         import json
         import time as _time
@@ -334,3 +392,4 @@ class Trainer:
         self.params = restored["params"]
         self.state = restored["state"]
         self.opt_state = restored["opt_state"]
+        self._replicate_all()

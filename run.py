@@ -34,9 +34,7 @@ def _unpack(batch, out):
 
 def _render_loop(data_type: str, folder_name: str):
     """Shared render skeleton (reference `_freeview`, `run.py:66-119`)."""
-    import jax
-
-    from occnerf_tpu.app import load_network_for_eval
+    from occnerf_tpu.app import load_network_for_eval, make_renderer
     from occnerf_tpu.data import create_dataloader, unpack_to_image
     from occnerf_tpu.utils.image import ImageWriter, to_8b_image
 
@@ -48,17 +46,10 @@ def _render_loop(data_type: str, folder_name: str):
     writer = ImageWriter(output_dir=os.path.join(cfg.logdir, cfg.load_net),
                          exp_name=folder_name)
 
-    @jax.jit
-    def render(params, state, batch):
-        out, _ = network.forward(
-            params, statics, state, batch, float(cfg.eval_iter),
-            training=False, perturb=0.0,
-            ignore_non_rigid=bool(cfg.ignore_non_rigid_motions))
-        return out
+    render = make_renderer(network, statics, params, state)
 
-    from occnerf_tpu.train.trainer import _device_batch
     for idx, batch in enumerate(loader):
-        out = render(params, state, _device_batch(batch))
+        out = render(batch)
         rgb_img, alpha_img = _unpack(batch, out)
         imgs = [rgb_img]
         if cfg.show_truth and "target_rgbs" in batch:
@@ -106,30 +97,23 @@ def run_backview():
 def run_evaluate():
     """PSNR over the progress split, skipping frames {4, 15}
     (reference `run.py:194-244,208`)."""
-    import jax
-
-    from occnerf_tpu.app import load_network_for_eval
+    from occnerf_tpu.app import load_network_for_eval, make_renderer
     from occnerf_tpu.data import create_dataloader
-    from occnerf_tpu.train.trainer import _device_batch
 
     cfg.perturb = 0.0
     loader = create_dataloader("progress", evaluate=True)
     subject = loader.dataset.subject
     network, statics, params, state = load_network_for_eval(subject)
 
-    @jax.jit
-    def render(params, state, batch):
-        out, _ = network.forward(
-            params, statics, state, batch, 1.0,
-            training=False, perturb=0.0)
-        return out
+    render = make_renderer(network, statics, params, state, iter_val=1.0,
+                           ignore_non_rigid=False)
 
     psnrs = []
     skips = {4, 15}
     for idx, batch in enumerate(loader):
         if idx in skips:
             continue
-        out = render(params, state, _device_batch(batch))
+        out = render(batch)
         n = int(batch["n_valid_rays"])
         rgb = np.asarray(out["rgb"])[:n]
         target = np.asarray(batch["target_rgbs"])[:n]

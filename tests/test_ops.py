@@ -317,3 +317,66 @@ def test_sh_encode_sum_rule(rng):
         expect = (2 * l + 1) / (4 * np.pi)
         np.testing.assert_allclose((out[:, a:b] ** 2).sum(-1), expect,
                                    rtol=1e-5)
+
+
+def test_sh_encode_degrees_5_to_8(rng):
+    """Degrees 5..8 (CUDA shencoder.cu supports <= 8): sum rule per l,
+    agreement of the recurrence evaluator with the hardcoded basis on the
+    shared degrees, and exact pole values Y_l^0(z-hat) = sqrt((2l+1)/4pi)."""
+    from occnerf_tpu.ops.sh import _sh_general
+
+    d = rng.normal(size=(64, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+
+    # recurrence == hardcoded on degrees 1..4
+    for deg in range(1, 5):
+        np.testing.assert_allclose(
+            np.asarray(_sh_general(jnp.asarray(d), deg)),
+            np.asarray(sh_encode(jnp.asarray(d), degree=deg)),
+            atol=1e-5)
+
+    out = np.asarray(sh_encode(jnp.asarray(d), degree=8))
+    assert out.shape == (64, 64)
+    for l in range(8):
+        a, b = l * l, (l + 1) * (l + 1)
+        np.testing.assert_allclose(
+            (out[:, a:b] ** 2).sum(-1), (2 * l + 1) / (4 * np.pi),
+            rtol=1e-4)
+
+    pole = np.asarray(sh_encode(jnp.asarray([[0.0, 0.0, 1.0]]), degree=8))[0]
+    for l in range(8):
+        for m in range(-l, l + 1):
+            idx = l * l + (m + l)
+            expect = np.sqrt((2 * l + 1) / (4 * np.pi)) if m == 0 else 0.0
+            np.testing.assert_allclose(pole[idx], expect, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# sorted (scatter-free) hash-grid backward
+# ---------------------------------------------------------------------------
+
+def test_hashgrid_sorted_backward_matches_ad(rng):
+    """hash_grid_encode_sorted: identical forward, table grads equal to
+    the AD scatter oracle, zero input cotangent (no-input-grad contract)."""
+    from occnerf_tpu.ops.hashgrid import hash_grid_encode_sorted
+
+    spec = HashGridSpec.create(input_dim=4, num_levels=6, level_dim=2,
+                               base_resolution=4, log2_hashmap_size=10,
+                               desired_resolution=64)
+    table = spec.init_table(jax.random.PRNGKey(1), std=0.5)
+    x = jnp.asarray(rng.uniform(-0.1, 1.1, (257, 4)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(257, spec.output_dim))
+                    .astype(np.float32))
+
+    out_ad = hash_grid_encode(x, table, spec)
+    out_sorted = hash_grid_encode_sorted(x, table, spec)
+    np.testing.assert_array_equal(np.asarray(out_ad), np.asarray(out_sorted))
+
+    g_ad = jax.grad(lambda t: jnp.sum(hash_grid_encode(x, t, spec) * g))(
+        table)
+    g_sorted, g_x = jax.grad(
+        lambda t, xx: jnp.sum(hash_grid_encode_sorted(xx, t, spec) * g),
+        argnums=(0, 1))(table, x)
+    np.testing.assert_allclose(np.asarray(g_ad), np.asarray(g_sorted),
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(g_x), 0.0)

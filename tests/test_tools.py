@@ -178,3 +178,52 @@ def test_wild_prepare_dataset(tmp_path, monkeypatch):
     # global rotation transferred: body pose root zeroed
     assert np.allclose(info["poses"][:3], 0.0)
     assert os.path.exists(os.path.join(sdir, "canonical_joints.pkl"))
+
+
+def test_convert_lpips_weights_synthetic(tmp_path, monkeypatch):
+    """Converter logic (shape mapping, OIHW->HWIO transpose, head
+    flattening) against a tiny synthetic torch state-dict — the real VGG
+    weights are unavailable in this environment (VERDICT #9)."""
+    torch = pytest.importorskip("torch")
+
+    conv_idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+    rng = np.random.default_rng(0)
+    vgg = {}
+    c_in = 3
+    for idx in conv_idx:
+        c_out = c_in + 1
+        vgg[f"features.{idx}.weight"] = torch.tensor(
+            rng.normal(size=(c_out, c_in, 3, 3)).astype(np.float32))
+        vgg[f"features.{idx}.bias"] = torch.tensor(
+            rng.normal(size=(c_out,)).astype(np.float32))
+        c_in = c_out
+    lins = {f"lin{k}.model.1.weight": torch.tensor(
+        rng.normal(size=(1, 4 + k, 1, 1)).astype(np.float32))
+        for k in range(5)}
+
+    vgg_path = str(tmp_path / "vgg.pth")
+    lins_path = str(tmp_path / "lins.pth")
+    out_path = str(tmp_path / "out.npz")
+    torch.save(vgg, vgg_path)
+    torch.save(lins, lins_path)
+
+    conv = _load_tool(os.path.join(REPO, "tools",
+                                   "convert_lpips_weights.py"),
+                      "lpips_conv")
+    monkeypatch.setattr(sys, "argv", [
+        "convert_lpips_weights.py", "--vgg", vgg_path, "--lins", lins_path,
+        "--out", out_path])
+    conv.main()
+
+    out = np.load(out_path)
+    assert len(out.files) == 13 * 2 + 5
+    for i, idx in enumerate(conv_idx):
+        w = vgg[f"features.{idx}.weight"].numpy()
+        np.testing.assert_array_equal(
+            out[f"conv{i}_w"], np.transpose(w, (2, 3, 1, 0)))  # HWIO
+        np.testing.assert_array_equal(
+            out[f"conv{i}_b"], vgg[f"features.{idx}.bias"].numpy())
+    for k in range(5):
+        np.testing.assert_array_equal(
+            out[f"lin{k}"],
+            lins[f"lin{k}.model.1.weight"].numpy().reshape(-1))
