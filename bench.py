@@ -91,7 +91,6 @@ def main() -> None:
     # compares one TPU chip against one reference GPU
     baseline_iters_per_s = 2.2 / 4.0
 
-    lpips_npz = os.path.join("third_parties", "lpips", "lpips_vgg.npz")
     print(json.dumps({
         "metric": "train_rays_per_sec_per_chip",
         "value": round(rays_per_s, 1),
@@ -102,8 +101,7 @@ def main() -> None:
         "sec_per_iter": round(dt, 4),
         "config": "configs/occnerf/zju_mocap/387/occnerf_tpu.yaml",
         "n_devices": len(jax.devices()),
-        "lpips_weights": "pretrained" if LPIPS.has_pretrained(lpips_npz)
-        else "random-init (no VGG weights in env)",
+        "lpips_weights": LPIPS.weights_mode(),
     }))
 
 

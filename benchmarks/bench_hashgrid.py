@@ -57,11 +57,13 @@ def main() -> None:
     x = jnp.asarray(rng.uniform(0, 1, (args.n, 4)).astype(np.float32))
 
     def arms():
-        yield ("pallas-2^14", 14,
-               lambda xx, t, s: hashgrid_pallas.hash_grid_encode_tpu(
-                   xx, t, s)
-               if jax.default_backend() == "tpu"
-               else hash_grid_encode(xx, t, s))
+        # only on TPU: off-TPU the pallas kernel can't run and a silent
+        # substitution would print misleading backend timings (ADVICE r2)
+        if jax.default_backend() == "tpu":
+            yield ("pallas-2^14", 14, hashgrid_pallas.hash_grid_encode_tpu)
+        else:
+            print("# pallas-2^14 arm skipped: backend is "
+                  f"{jax.default_backend()!r}, not tpu")
         yield ("sorted-2^19", 19, hash_grid_encode_sorted)
         if args.xla:
             yield ("xla-ad-2^19", 19, hash_grid_encode)

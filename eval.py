@@ -127,7 +127,7 @@ def main() -> None:
     # the reference instantiates LPIPS here (eval.py:122-124) though its
     # loop never calls it; surface the weights status loudly either way
     from occnerf_tpu.metrics.lpips import LPIPS
-    LPIPS.warn_if_random("eval")
+    LPIPS.announce("eval")
     eval_model(render_folder_name="eval")
 
 

@@ -99,9 +99,10 @@ def make_renderer(network, statics, params, state,
     sharded over the 1-D data mesh and params/state replicate — the same
     layout the Trainer uses (the reference deploys its MLPs across all
     GPUs for rendering too, `run.py:26-37` deploy_mlps_to_secondary_gpus).
-    Eval buckets are multiples of ``tpu.eval_ray_bucket`` so divisibility
-    by the mesh always holds (buckets are >= 1024 and device counts are
-    powers of two).
+    Eval buckets from the data layer are multiples of
+    ``tpu.eval_ray_bucket`` (>= 1024, device counts are powers of two) so
+    they shard evenly; a caller-supplied batch with an indivisible ray
+    count falls back to single-device placement with a one-time warning.
     """
     from .parallel import make_mesh, replicated, shard_batch
     from .train.trainer import EXCLUDE_KEYS_TO_GPU
@@ -127,14 +128,22 @@ def make_renderer(network, statics, params, state,
                                  ignore_non_rigid=inr)
         return out
 
+    warned_fallback = [False]
+
     def render(batch):
         host = {k: v for k, v in batch.items()
                 if k not in EXCLUDE_KEYS_TO_GPU}
-        if mesh is not None and \
-                batch["near"].shape[0] % mesh.devices.size == 0:
-            dbatch = shard_batch(mesh, host)
-        else:
-            dbatch = {k: jnp.asarray(v) for k, v in host.items()}
+        if mesh is not None:
+            n = batch["near"].shape[0]
+            if n % mesh.devices.size == 0:
+                dbatch = shard_batch(mesh, host)
+                return _render(params, state, statics, dbatch)
+            if not warned_fallback[0]:
+                warned_fallback[0] = True
+                print(f"[renderer] WARNING: batch of {n} rays not "
+                      f"divisible by the {mesh.devices.size}-device mesh; "
+                      "single-device placement for such batches")
+        dbatch = {k: jnp.asarray(v) for k, v in host.items()}
         return _render(params, state, statics, dbatch)
 
     return render

@@ -17,6 +17,15 @@ egress and no torchvision, so:
   so the loss *pipeline* is exercisable end-to-end (random VGG features
   still yield a usable perceptual-ish loss; documented degradation).
 
+Three weight modes (:func:`weights_mode`):
+
+- ``pretrained``: full converted npz (conv stack + linear heads);
+- ``heads-only``: the reference's *learned 1x1 heads* (which it ships
+  in-repo) over the fixed random backbone — converted via
+  ``tools/convert_lpips_weights.py --lins .../vgg.pth`` (no ``--vgg``);
+- ``random``: nothing converted; fixed-seed random backbone + uniform
+  heads.
+
 The conv stack runs in NHWC with 3x3 SAME convs and 2x2 max-pools —
 XLA maps these straight onto the MXU.
 """
@@ -39,6 +48,14 @@ _TAP_CHANNELS = [64, 128, 256, 512, 512]
 # LPIPS input scaling layer constants (lpips.py ScalingLayer)
 _SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
 _SCALE = np.array([0.458, 0.448, 0.450], np.float32)
+
+# Converted weights live in the repo (training runs from arbitrary cwds,
+# so the default must be repo-anchored, not cwd-relative); the committed
+# file carries the reference's learned linear heads (heads-only mode).
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+DEFAULT_WEIGHTS_PATH = os.path.join(
+    _REPO_ROOT, "third_parties", "lpips", "lpips_vgg.npz")
 
 
 def _conv_layers() -> List[int]:
@@ -77,26 +94,63 @@ class LPIPS:
         return {k: jnp.asarray(data[k]) for k in data.files}
 
     @staticmethod
-    def has_pretrained(path: str = "third_parties/lpips/lpips_vgg.npz"
-                       ) -> bool:
-        return os.path.exists(path)
+    def has_pretrained(path: str = DEFAULT_WEIGHTS_PATH) -> bool:
+        return LPIPS.weights_mode(path) == "pretrained"
+
+    @staticmethod
+    def weights_mode(path: str = DEFAULT_WEIGHTS_PATH) -> str:
+        """``pretrained`` | ``heads-only`` | ``random`` (see module doc)."""
+        if not os.path.exists(path):
+            return "random"
+        with np.load(path) as data:
+            has_convs = "conv0_w" in data.files
+            has_lins = "lin0" in data.files
+        if has_convs and has_lins:
+            return "pretrained"
+        if has_lins:
+            return "heads-only"
+        return "random"
 
     @staticmethod
     def warn_if_random(context: str,
-                       path: str = "third_parties/lpips/lpips_vgg.npz"
-                       ) -> bool:
-        """Loud one-line banner when no converted pretrained weights
-        exist — every entry point that touches LPIPS parity must be
-        impossible to misread (the reference trains against pretrained
-        VGG-LPIPS, `third_parties/lpips/lpips.py:81-108`).  Returns True
-        when pretrained weights are present."""
-        if LPIPS.has_pretrained(path):
-            return True
-        print(f"[{context}] ***** LPIPS FALLBACK: no converted VGG "
-              f"weights at {path}; using FIXED RANDOM VGG features — "
-              "perceptual numbers are NOT reference-parity (run "
-              "tools/convert_lpips_weights.py) *****")
-        return False
+                       path: str = DEFAULT_WEIGHTS_PATH) -> bool:
+        """Back-compat wrapper around :func:`announce`; True iff the full
+        pretrained stack is available."""
+        return LPIPS.announce(context, path) == "pretrained"
+
+    @staticmethod
+    def announce(context: str, path: str = DEFAULT_WEIGHTS_PATH) -> str:
+        """Loud one-line banner describing the LPIPS weight mode — every
+        entry point that touches LPIPS parity must be impossible to
+        misread (the reference trains against pretrained VGG-LPIPS,
+        `third_parties/lpips/lpips.py:81-108`).  Returns the mode."""
+        mode = LPIPS.weights_mode(path)
+        if mode == "heads-only":
+            print(f"[{context}] ***** LPIPS HYBRID: the reference's "
+                  f"learned linear heads loaded from {path}, but the VGG16 "
+                  "backbone is FIXED RANDOM (no torchvision checkpoint in "
+                  "this env) — perceptual numbers are NOT full "
+                  "reference-parity *****")
+        elif mode == "random":
+            print(f"[{context}] ***** LPIPS FALLBACK: no converted VGG "
+                  f"weights at {path}; using FIXED RANDOM VGG features — "
+                  "perceptual numbers are NOT reference-parity (run "
+                  "tools/convert_lpips_weights.py) *****")
+        return mode
+
+    def load_params(self, key: jax.Array,
+                    path: str = DEFAULT_WEIGHTS_PATH
+                    ) -> Dict[str, jnp.ndarray]:
+        """Best-available params for the current :func:`weights_mode`:
+        full converted stack, converted heads over the fixed random
+        backbone, or all-random fallback."""
+        mode = self.weights_mode(path)
+        if mode == "pretrained":
+            return self.load_weights(path)
+        params = self.init_random(key)
+        if mode == "heads-only":
+            params.update(self.load_weights(path))
+        return params
 
     # ------------------------------------------------------------------
     def features(self, params, x: jnp.ndarray) -> List[jnp.ndarray]:

@@ -64,12 +64,8 @@ class Trainer:
         self.lpips_params = None
         if "lpips" in cfg.train.lossweights:
             self.lpips = LPIPS()
-            npz = os.path.join("third_parties", "lpips", "lpips_vgg.npz")
-            if LPIPS.warn_if_random("Trainer", npz):
-                self.lpips_params = LPIPS.load_weights(npz)
-            else:
-                self.lpips_params = self.lpips.init_random(
-                    jax.random.PRNGKey(0))
+            LPIPS.announce("Trainer")
+            self.lpips_params = self.lpips.load_params(jax.random.PRNGKey(0))
 
         self.tx, self.opt_state = get_optimizer(self.params)
 
@@ -80,6 +76,7 @@ class Trainer:
         # replicate params/state/optimizer; XLA inserts the gradient psum
         # and the output all-gather.
         self.mesh = None
+        self._warned_shard_fallback = False
         from ..parallel import make_mesh
         mesh = make_mesh()
         n_rays = cfg.patch.N_patches * cfg.patch.size ** 2
@@ -212,6 +209,12 @@ class Trainer:
             n = batch["near"].shape[0]
             if n % self.mesh.devices.size == 0:
                 return shard_batch(self.mesh, host)
+            if not self._warned_shard_fallback:
+                self._warned_shard_fallback = True
+                print(f"[Trainer] WARNING: batch of {n} rays not divisible "
+                      f"by the {self.mesh.devices.size}-device mesh; "
+                      "falling back to single-device placement for such "
+                      "batches (unsharded retrace)")
         return {k: jnp.asarray(v) for k, v in host.items()}
 
     def train_step(self, batch: Dict[str, Any]):

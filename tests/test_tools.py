@@ -227,3 +227,34 @@ def test_convert_lpips_weights_synthetic(tmp_path, monkeypatch):
         np.testing.assert_array_equal(
             out[f"lin{k}"],
             lins[f"lin{k}.model.1.weight"].numpy().reshape(-1))
+
+
+def test_convert_lpips_heads_only(tmp_path, monkeypatch):
+    """Without --vgg the converter writes a heads-only npz from the key
+    layout the reference's in-repo vgg.pth uses
+    (`third_parties/lpips/weights/v0.1/vgg.pth`: lin{k}.model.1.weight of
+    shape (1, C, 1, 1) for C in 64/128/256/512/512)."""
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(3)
+    chans = [64, 128, 256, 512, 512]
+    lins = {f"lin{k}.model.1.weight": torch.tensor(
+        np.abs(rng.normal(size=(1, c, 1, 1))).astype(np.float32))
+        for k, c in enumerate(chans)}
+    lins_path = str(tmp_path / "lins.pth")
+    out_path = str(tmp_path / "out.npz")
+    torch.save(lins, lins_path)
+
+    conv = _load_tool(os.path.join(REPO, "tools",
+                                   "convert_lpips_weights.py"),
+                      "lpips_conv_heads")
+    monkeypatch.setattr(sys, "argv", [
+        "convert_lpips_weights.py", "--lins", lins_path, "--out", out_path])
+    conv.main()
+
+    out = np.load(out_path)
+    assert set(out.files) == {f"lin{k}" for k in range(5)}
+    for k, c in enumerate(chans):
+        assert out[f"lin{k}"].shape == (c,)
+
+    from occnerf_tpu.metrics.lpips import LPIPS
+    assert LPIPS.weights_mode(out_path) == "heads-only"
