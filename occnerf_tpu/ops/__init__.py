@@ -1,4 +1,5 @@
-from .hashgrid import HashGridSpec, hash_grid_encode  # noqa: F401
+from .hashgrid import (HashGridSpec, hash_grid_encode,  # noqa: F401
+                       hash_grid_encode_sorted, grad_total_variation)
 from .knn import knn, multiscale_knn  # noqa: F401
 from .raymarch import raw2outputs, sample_zvals, stratify_zvals  # noqa: F401
 from .sh import sh_encode  # noqa: F401

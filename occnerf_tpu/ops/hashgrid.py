@@ -31,7 +31,14 @@ _PRIMES = np.array(
 
 @dataclasses.dataclass(frozen=True)
 class HashGridSpec:
-    """Static geometry of a hash grid (all fields Python/numpy constants)."""
+    """Static geometry of a hash grid (all fields Python/numpy constants).
+
+    Covers the CUDA extension's full public surface: D in 2..5, C in
+    {1, 2, 4, 8}, ``gridtype`` hash/tiled, ``align_corners`` (grid stride
+    ``res`` vs ``res+1`` and no +0.5 offset, `gridencoder.cu:141,36-39` of
+    get_grid_index), and ``interpolation`` linear/smoothstep
+    (`gridencoder.cu:40-47,151-158`).
+    """
 
     input_dim: int = 3
     num_levels: int = 16
@@ -39,6 +46,8 @@ class HashGridSpec:
     per_level_scale: float = 2.0
     base_resolution: int = 16
     log2_hashmap_size: int = 19
+    align_corners: bool = False
+    interpolation: str = "linear"
     # derived
     offsets: Tuple[int, ...] = ()
     resolutions: Tuple[int, ...] = ()
@@ -50,7 +59,14 @@ class HashGridSpec:
                per_level_scale: float = 2.0, base_resolution: int = 16,
                log2_hashmap_size: int = 19,
                desired_resolution: float | None = None,
-               gridtype: str = "hash") -> "HashGridSpec":
+               gridtype: str = "hash", align_corners: bool = False,
+               interpolation: str = "linear") -> "HashGridSpec":
+        if level_dim not in (1, 2, 4, 8):
+            raise ValueError(f"level_dim must be 1/2/4/8, got {level_dim}")
+        if not 2 <= input_dim <= 5:
+            raise ValueError(f"input_dim must be 2..5, got {input_dim}")
+        if interpolation not in ("linear", "smoothstep"):
+            raise ValueError(f"unknown interpolation {interpolation!r}")
         if desired_resolution is not None:
             per_level_scale = float(np.exp2(
                 np.log2(desired_resolution / base_resolution)
@@ -62,8 +78,9 @@ class HashGridSpec:
         for lvl in range(num_levels):
             scale = float(np.exp2(lvl * S) * base_resolution - 1.0)
             res = int(np.ceil(scale)) + 1
-            # align_corners=False layout: res+1 samples per dim
-            dense = (res + 1) ** input_dim
+            # grid samples per dim: res (align_corners) / res+1 (default),
+            # `grid.py:124`
+            dense = (res if align_corners else res + 1) ** input_dim
             params = min(max_params, dense)
             params = int(np.ceil(params / 8) * 8)
             offset += params
@@ -77,6 +94,7 @@ class HashGridSpec:
             input_dim=input_dim, num_levels=num_levels, level_dim=level_dim,
             per_level_scale=per_level_scale, base_resolution=base_resolution,
             log2_hashmap_size=log2_hashmap_size,
+            align_corners=align_corners, interpolation=interpolation,
             offsets=tuple(offsets), resolutions=tuple(resolutions),
             scales=tuple(scales), use_hash=tuple(use_hash))
 
@@ -101,6 +119,49 @@ def _corner_bits(D: int) -> np.ndarray:
     return ((np.arange(n)[:, None] >> np.arange(D)[None, :]) & 1).astype(np.int32)
 
 
+def _grid_stride(spec: HashGridSpec, lvl: int) -> int:
+    """Samples per dim at a level: res (align_corners) / res+1 (default),
+    matching get_grid_index's stride multiplier (`gridencoder.cu`)."""
+    return spec.resolutions[lvl] + (0 if spec.align_corners else 1)
+
+
+def _level_cells(x: jnp.ndarray, spec: HashGridSpec, lvl: int):
+    """(pos_grid uint32 (D, N), frac (D, N)) for one level — frac is the
+    *interpolation* fraction (smoothstepped when configured,
+    `gridencoder.cu:151-158`); AD through the smoothstep polynomial
+    supplies the input-gradient chain term the CUDA tracks as
+    ``pos_deriv``."""
+    xt = x.T                                                    # (D, N)
+    scale = jnp.asarray(spec.scales[lvl], x.dtype)
+    pos = xt * scale + (0.0 if spec.align_corners else 0.5)
+    pos_grid = jnp.floor(pos)
+    frac = pos - pos_grid
+    if spec.interpolation == "smoothstep":
+        frac = frac * frac * (3.0 - 2.0 * frac)
+    return pos_grid.astype(jnp.uint32), frac
+
+
+def _corner_index(pos_grid, bits_ci, spec: HashGridSpec, lvl: int):
+    """Table row (without level offset) of one corner, (N,) int32."""
+    D = spec.input_dim
+    hsize = spec.offsets[lvl + 1] - spec.offsets[lvl]
+    strides = [1]
+    for d in range(1, D):
+        strides.append((strides[-1] * _grid_stride(spec, lvl)) & 0xFFFFFFFF)
+    idx = None
+    h = None
+    for d in range(D):
+        corner_d = pos_grid[d] + jnp.uint32(bits_ci[d])
+        if spec.use_hash[lvl]:
+            term = corner_d * jnp.uint32(_PRIMES[d])
+            h = term if h is None else h ^ term
+        else:
+            term = corner_d * jnp.uint32(strides[d])
+            idx = term if idx is None else idx + term
+    idx = h if spec.use_hash[lvl] else idx
+    return (idx % jnp.uint32(hsize)).astype(jnp.int32)
+
+
 def _level_corner_indices(x: jnp.ndarray, spec: HashGridSpec, lvl: int):
     """Per-corner (table index, lerp weight) for one level.
 
@@ -109,37 +170,16 @@ def _level_corner_indices(x: jnp.ndarray, spec: HashGridSpec, lvl: int):
     backward (which recomputes them instead of saving 2^D x N residuals).
     """
     D = spec.input_dim
-    xt = x.T                                                    # (D, N)
     bits = _corner_bits(D)
-    scale = jnp.asarray(spec.scales[lvl], x.dtype)
-    hsize = spec.offsets[lvl + 1] - spec.offsets[lvl]
-    pos = xt * scale + 0.5
-    pos_grid = jnp.floor(pos)
-    frac = pos - pos_grid
-    pos_grid = pos_grid.astype(jnp.uint32)
-
-    strides = [1]
-    for d in range(1, D):
-        strides.append((strides[-1] * (spec.resolutions[lvl] + 1))
-                       & 0xFFFFFFFF)
+    pos_grid, frac = _level_cells(x, spec, lvl)
 
     idx_list, w_list = [], []
     for ci in range(1 << D):
         w = None
-        idx = None
-        h = None
         for d in range(D):
-            corner_d = pos_grid[d] + jnp.uint32(bits[ci, d])
             wd = frac[d] if bits[ci, d] else (1.0 - frac[d])
             w = wd if w is None else w * wd
-            if spec.use_hash[lvl]:
-                term = corner_d * jnp.uint32(_PRIMES[d])
-                h = term if h is None else h ^ term
-            else:
-                term = corner_d * jnp.uint32(strides[d])
-                idx = term if idx is None else idx + term
-        idx = h if spec.use_hash[lvl] else idx
-        idx_list.append((idx % jnp.uint32(hsize)).astype(jnp.int32))
+        idx_list.append(_corner_index(pos_grid, bits[ci], spec, lvl))
         w_list.append(w)
     return jnp.stack(idx_list), jnp.stack(w_list)
 
@@ -156,7 +196,6 @@ def hash_grid_encode(inputs: jnp.ndarray, table: jnp.ndarray,
     x = inputs.reshape(-1, D)
     if not jnp.issubdtype(x.dtype, jnp.floating):
         x = x.astype(jnp.float32)
-    N = x.shape[0]
 
     oob = jnp.any((x < 0.0) | (x > 1.0), axis=-1)              # (N,)
     xc = jnp.clip(x, 0.0, 1.0)
@@ -164,43 +203,18 @@ def hash_grid_encode(inputs: jnp.ndarray, table: jnp.ndarray,
     # TPU layout note: keep N as the trailing (lane) dimension everywhere.
     # A (N, L, 2^D) layout tiles as (8, 128) on the tiny trailing dims and
     # pads 8x — at 786k points that turned 1.5 GB of temps into 12 GB.
-    xt = xc.T                                                   # (D, N)
     bits = _corner_bits(D)                                      # (2^D, D) np
 
     feats = []
     for lvl in range(L):
-        scale = jnp.asarray(spec.scales[lvl], x.dtype)
-        hsize = spec.offsets[lvl + 1] - spec.offsets[lvl]
-        pos = xt * scale + 0.5                                  # (D, N)
-        pos_grid = jnp.floor(pos)
-        frac = pos - pos_grid
-        pos_grid = pos_grid.astype(jnp.uint32)
-
-        # dense strides (align_corners=False: res+1 samples per dim),
-        # uint32 wraparound like the CUDA code; only consumed when the
-        # dense grid fits the table
-        strides = [1]
-        for d in range(1, D):
-            strides.append((strides[-1] * (spec.resolutions[lvl] + 1))
-                           & 0xFFFFFFFF)
-
+        pos_grid, frac = _level_cells(xc, spec, lvl)
         lvl_feat = None
         for ci in range(1 << D):
             w = None
-            idx = None
-            h = None
             for d in range(D):
-                corner_d = pos_grid[d] + jnp.uint32(bits[ci, d])
                 wd = frac[d] if bits[ci, d] else (1.0 - frac[d])
                 w = wd if w is None else w * wd
-                if spec.use_hash[lvl]:
-                    term = corner_d * jnp.uint32(_PRIMES[d])
-                    h = term if h is None else h ^ term
-                else:
-                    term = corner_d * jnp.uint32(strides[d])
-                    idx = term if idx is None else idx + term
-            idx = h if spec.use_hash[lvl] else idx
-            idx = (idx % jnp.uint32(hsize)).astype(jnp.int32) \
+            idx = _corner_index(pos_grid, bits[ci], spec, lvl) \
                 + spec.offsets[lvl]
             g = table[idx]                                      # (N, C)
             contrib = w[:, None] * g
@@ -303,3 +317,70 @@ def _hges_bwd(spec, inputs, g):
 
 
 hash_grid_encode_sorted.defvjp(_hges_fwd, _hges_bwd)
+
+
+def grad_total_variation(inputs: jnp.ndarray, table: jnp.ndarray,
+                         spec: HashGridSpec,
+                         weight: float = 1e-7) -> jnp.ndarray:
+    """Stochastic total-variation gradient w.r.t. the table.
+
+    Behavioral equivalent of the CUDA ``grad_total_variation``
+    (`grid.py:174-194`, `gridencoder.cu` kernel_grad_tv): per sampled
+    point and level, the anchor cell accumulates
+    ``w * sum_d(anchor - neighbor_d±) * rsqrt(sum_d diff² + 1e-9)`` with
+    ``w = weight / (2D)`` — gradients land on the *anchor row only* (the
+    CUDA kernel's asymmetric approximation, kept deliberately).
+    Out-of-range points contribute nothing.  The caller adds the result
+    into its table gradient before the optimizer step, mirroring the
+    torch usage (after ``loss.backward()``).
+
+    Scatter-free on TPU: contributions are sorted by anchor row and
+    segment-summed (same machinery as the sorted training backward).
+
+    Args:
+        inputs: (..., D) points in [0, 1]^D.
+        table: (table_size, C) embeddings.
+        spec: grid geometry.
+        weight: TV weight (CUDA default 1e-7).
+    Returns:
+        (table_size, C) gradient array.
+    """
+    D, C = spec.input_dim, spec.level_dim
+    x = inputs.reshape(-1, D)
+    if not jnp.issubdtype(x.dtype, jnp.floating):
+        x = x.astype(jnp.float32)
+    oob = jnp.any((x < 0.0) | (x > 1.0), axis=-1)               # (N,)
+    xc = jnp.clip(x, 0.0, 1.0)
+    w = weight / (2 * D)
+    zero_bits = np.zeros((D,), np.int32)
+
+    grads = []
+    for lvl in range(spec.num_levels):
+        res = spec.resolutions[lvl]
+        pos_grid, _ = _level_cells(xc, spec, lvl)               # (D, N)
+        anchor = _corner_index(pos_grid, zero_bits, spec, lvl)  # (N,)
+        g_anchor = table[anchor + spec.offsets[lvl]]            # (N, C)
+
+        results = jnp.zeros_like(g_anchor)
+        idelta = jnp.zeros_like(g_anchor)
+        for d in range(D):
+            for side in (+1, -1):
+                shifted = pos_grid.at[d].add(
+                    jnp.uint32(side & 0xFFFFFFFF))  # -1 wraps (masked)
+                valid = (pos_grid[d] < res) if side > 0 \
+                    else (pos_grid[d] > 0)                      # (N,)
+                nb = _corner_index(shifted, zero_bits, spec, lvl)
+                diff = (g_anchor - table[nb + spec.offsets[lvl]]) \
+                    * valid[:, None]
+                results = results + diff
+                idelta = idelta + diff * diff
+
+        val = w * results * jax.lax.rsqrt(idelta + 1e-9)
+        val = jnp.where(oob[:, None], 0.0, val)
+
+        keys, *cols = jax.lax.sort(
+            (anchor, *(val[:, c] for c in range(C))), num_keys=1)
+        vals = jnp.stack(cols, axis=-1)
+        hsize = spec.offsets[lvl + 1] - spec.offsets[lvl]
+        grads.append(_segmented_sums(keys, vals, hsize))
+    return jnp.concatenate(grads, axis=0)

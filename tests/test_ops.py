@@ -124,10 +124,32 @@ def _small_spec():
                                desired_resolution=32)
 
 
+def _oracle_grid_index(pl, spec, lvl):
+    """Scalar get_grid_index (gridencoder.cu): dense strided index while
+    the stride fits the table, spatial hash otherwise."""
+    primes = np.array([1, 2654435761, 805459861, 3674653429, 2097192037],
+                      dtype=np.uint64)
+    res = spec.resolutions[lvl]
+    hsize = spec.offsets[lvl + 1] - spec.offsets[lvl]
+    per_dim = res if spec.align_corners else res + 1
+    stride, index = 1, 0
+    for d in range(spec.input_dim):
+        if stride <= hsize:
+            index += int(pl[d]) * stride
+            stride *= per_dim
+    if stride > hsize:  # hash
+        h = np.uint64(0)
+        for d in range(spec.input_dim):
+            h ^= np.uint64(int(pl[d]) * int(primes[d])) \
+                & np.uint64(0xFFFFFFFF)
+        index = int(h & np.uint64(0xFFFFFFFF))
+    return index % hsize
+
+
 def _numpy_hashgrid_oracle(x, table, spec):
     """Independent scalar transliteration of the CUDA algorithm
-    (gridencoder.cu:50-200) for cross-checking."""
-    primes = np.array([1, 2654435761, 805459861, 3674653429], dtype=np.uint64)
+    (gridencoder.cu:50-200) for cross-checking; honors align_corners
+    (+0.0 offset, res-per-dim stride) and smoothstep interpolation."""
     D, L, C = spec.input_dim, spec.num_levels, spec.level_dim
     N = x.shape[0]
     out = np.zeros((N, L * C), np.float32)
@@ -136,11 +158,11 @@ def _numpy_hashgrid_oracle(x, table, spec):
             continue
         for lvl in range(L):
             scale = spec.scales[lvl]
-            res = spec.resolutions[lvl]
-            hsize = spec.offsets[lvl + 1] - spec.offsets[lvl]
-            pos = x[n] * scale + 0.5
+            pos = x[n] * scale + (0.0 if spec.align_corners else 0.5)
             pg = np.floor(pos).astype(np.uint64)
             fr = pos - pg
+            if spec.interpolation == "smoothstep":
+                fr = fr * fr * (3.0 - 2.0 * fr)
             acc = np.zeros(C, np.float64)
             for ci in range(1 << D):
                 w = 1.0
@@ -151,18 +173,7 @@ def _numpy_hashgrid_oracle(x, table, spec):
                         pl[d] += 1
                     else:
                         w *= 1 - fr[d]
-                # index
-                stride, index = 1, 0
-                for d in range(D):
-                    if stride <= hsize:
-                        index += int(pl[d]) * stride
-                        stride *= res + 1
-                if stride > hsize:  # hash
-                    h = np.uint64(0)
-                    for d in range(D):
-                        h ^= np.uint64(pl[d] * primes[d]) & np.uint64(0xFFFFFFFF)
-                    index = int(h & np.uint64(0xFFFFFFFF))
-                index = index % hsize + spec.offsets[lvl]
+                index = _oracle_grid_index(pl, spec, lvl) + spec.offsets[lvl]
                 acc += w * table[index]
             out[n, lvl * C:(lvl + 1) * C] = acc
     return out
@@ -194,6 +205,134 @@ def test_hashgrid_matches_numpy_oracle(rng):
     ref = _numpy_hashgrid_oracle(x, table, spec)
     np.testing.assert_allclose(ours, ref, atol=1e-4)
     assert np.all(ours[3] == 0.0)
+
+
+@pytest.mark.parametrize("D,C,align,interp", [
+    (3, 2, False, "smoothstep"),
+    (3, 2, True, "linear"),
+    (2, 8, True, "smoothstep"),
+    (5, 1, False, "linear"),
+    (4, 4, False, "smoothstep"),
+])
+def test_hashgrid_extended_modes_match_oracle(rng, D, C, align, interp):
+    """The CUDA extension's full surface (gridencoder.cu: D 2..5,
+    C 1/2/4/8, align_corners, smoothstep) vs the scalar oracle."""
+    spec = HashGridSpec.create(
+        input_dim=D, num_levels=3, level_dim=C, base_resolution=4,
+        log2_hashmap_size=7, desired_resolution=16,
+        align_corners=align, interpolation=interp)
+    table = rng.normal(0, 0.1, (spec.table_size, C)).astype(np.float32)
+    x = rng.uniform(0, 1, (20, D)).astype(np.float32)
+    x[0] = 0.0
+    x[1] = 1.0
+    ours = np.asarray(hash_grid_encode(jnp.asarray(x), jnp.asarray(table),
+                                       spec))
+    ref = _numpy_hashgrid_oracle(x, table, spec)
+    np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+def test_hashgrid_smoothstep_input_grads(rng):
+    """Smoothstep input gradients (the CUDA pos_deriv chain term,
+    gridencoder.cu:151-158) via AD vs central finite differences."""
+    spec = HashGridSpec.create(input_dim=3, num_levels=3, level_dim=2,
+                               base_resolution=4, log2_hashmap_size=7,
+                               desired_resolution=16,
+                               interpolation="smoothstep")
+    table = jnp.asarray(rng.normal(0, 0.1, (spec.table_size, 2))
+                        .astype(np.float32))
+    x0 = np.array([[0.31, 0.57, 0.73]], np.float32)
+
+    def f(xx):
+        return jnp.sum(hash_grid_encode(xx, table, spec))
+
+    with jax.enable_x64():
+        x64 = jnp.asarray(x0, jnp.float64)
+        g_ad = np.asarray(jax.grad(f)(x64))
+        eps = 1e-6
+        for d in range(3):
+            xp = x0.astype(np.float64).copy()
+            xm = xp.copy()
+            xp[0, d] += eps
+            xm[0, d] -= eps
+            g_fd = (float(f(jnp.asarray(xp))) - float(f(jnp.asarray(xm)))) \
+                / (2 * eps)
+            np.testing.assert_allclose(g_ad[0, d], g_fd, rtol=1e-4,
+                                       atol=1e-6)
+
+
+def test_hashgrid_sorted_backward_extended_modes(rng):
+    """The sorted (scatter-free) table backward stays exact vs the AD
+    oracle under smoothstep + align_corners and wide level_dim."""
+    from occnerf_tpu.ops.hashgrid import hash_grid_encode_sorted
+    spec = HashGridSpec.create(input_dim=3, num_levels=3, level_dim=4,
+                               base_resolution=4, log2_hashmap_size=7,
+                               desired_resolution=16, align_corners=True,
+                               interpolation="smoothstep")
+    table = jnp.asarray(rng.normal(0, 0.1, (spec.table_size, 4))
+                        .astype(np.float32))
+    x = jnp.asarray(rng.uniform(0, 1, (64, 3)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(64, spec.output_dim))
+                    .astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(hash_grid_encode_sorted(x, table, spec)),
+        np.asarray(hash_grid_encode(x, table, spec)), atol=1e-6)
+    g_ad = jax.grad(lambda t: jnp.sum(hash_grid_encode(x, t, spec) * g))(
+        table)
+    g_sorted = jax.grad(
+        lambda t: jnp.sum(hash_grid_encode_sorted(x, t, spec) * g))(table)
+    np.testing.assert_allclose(np.asarray(g_sorted), np.asarray(g_ad),
+                               atol=2e-5)
+
+
+def _numpy_tv_grad_oracle(x, table, spec, weight):
+    """Scalar transliteration of kernel_grad_tv (gridencoder.cu:507-609):
+    anchor-only gradient, per-channel rsqrt normalization."""
+    D, C = spec.input_dim, spec.level_dim
+    grad = np.zeros_like(table, dtype=np.float64)
+    w = weight / (2 * D)
+    for n in range(x.shape[0]):
+        if np.any((x[n] < 0) | (x[n] > 1)):
+            continue
+        for lvl in range(spec.num_levels):
+            scale = spec.scales[lvl]
+            res = spec.resolutions[lvl]
+            pos = x[n] * scale + (0.0 if spec.align_corners else 0.5)
+            pg = np.floor(pos).astype(np.int64)
+            anchor = _oracle_grid_index(pg, spec, lvl) + spec.offsets[lvl]
+            results = np.zeros(C, np.float64)
+            idelta = np.zeros(C, np.float64)
+            for d in range(D):
+                for side in (+1, -1):
+                    if side > 0 and pg[d] >= res:
+                        continue
+                    if side < 0 and pg[d] <= 0:
+                        continue
+                    pl = pg.copy()
+                    pl[d] += side
+                    nb = _oracle_grid_index(pl, spec, lvl) \
+                        + spec.offsets[lvl]
+                    diff = table[anchor] - table[nb]
+                    results += diff
+                    idelta += diff * diff
+            grad[anchor] += w * results / np.sqrt(idelta + 1e-9)
+    return grad.astype(np.float32)
+
+
+def test_hashgrid_tv_grad_matches_oracle(rng):
+    """grad_total_variation vs the scalar CUDA-semantics oracle
+    (grid.py:174-194 usage; kernel_grad_tv)."""
+    from occnerf_tpu.ops.hashgrid import grad_total_variation
+    spec = _small_spec()
+    table = rng.normal(0, 0.1, (spec.table_size, spec.level_dim)
+                       ).astype(np.float32)
+    x = rng.uniform(0, 1, (40, 3)).astype(np.float32)
+    x[0] = 0.0   # boundary anchors: left neighbors skipped
+    x[1] = 1.0   # right neighbors skipped
+    x[2] = [1.5, 0.5, 0.5]  # oob -> no contribution
+    ours = np.asarray(grad_total_variation(
+        jnp.asarray(x), jnp.asarray(table), spec, weight=1e-3))
+    ref = _numpy_tv_grad_oracle(x, table, spec, weight=1e-3)
+    np.testing.assert_allclose(ours, ref, atol=1e-7)
 
 
 def test_hashgrid_4d_production_spec_runs(rng):
