@@ -65,6 +65,10 @@ def get_default_cfg() -> CfgNode:
         embedding_size=256,
         volume_size=32,
         dst_voxel_size=0.0625,
+        # TPU extension (not in the reference surface): scales the
+        # ConvDecoder3D channel plan; 1024 = reference-exact.  Small
+        # values let test meshes cover the conv-transpose sharding path.
+        base_channels=1024,
     ))
 
     # ---- non-rigid motion mlp ---------------------------------------------

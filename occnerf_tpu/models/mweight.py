@@ -24,11 +24,15 @@ from .layers import init_linear, leaky_relu_gain, linear
 _SLOPE = 0.2
 
 
-def _convt_channel_plan(volume_size: int) -> List[tuple]:
+def _convt_channel_plan(volume_size: int,
+                        base_channels: int = 1024) -> List[tuple]:
     """(in, out) per transposed conv, mirroring ConvDecoder3D's channel
-    halving schedule (`network_util.py:26-39`)."""
+    halving schedule (`network_util.py:26-39`).  ``base_channels`` scales
+    the whole plan (1024 = reference-exact; smaller values are a
+    TPU-extension used to cover the conv-transpose sharding path on
+    memory-limited test meshes)."""
     plan = []
-    inc, outc = 1024, 512
+    inc, outc = base_channels, base_channels // 2
     for _ in range(int(np.log2(volume_size)) - 1):
         plan.append((inc, outc))
         if inc == outc:
@@ -73,11 +77,12 @@ def conv_transpose3d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
 
 class DeconvVolumeDecoder:
     def __init__(self, embedding_size: int = 256, volume_size: int = 32,
-                 total_bones: int = 24):
+                 total_bones: int = 24, base_channels: int = 1024):
         self.embedding_size = embedding_size
         self.volume_size = volume_size
         self.total_bones = total_bones
-        self.plan, last_in = _convt_channel_plan(volume_size)
+        self.base_channels = base_channels
+        self.plan, last_in = _convt_channel_plan(volume_size, base_channels)
         self.final = (last_in, total_bones + 1)
 
     def init(self, key: jax.Array):
@@ -90,8 +95,8 @@ class DeconvVolumeDecoder:
         return {
             "const_embedding": jax.random.normal(
                 keys[-2], (self.embedding_size,), jnp.float32),
-            "mlp": init_linear(keys[-1], self.embedding_size, 1024,
-                               leaky_relu_gain(_SLOPE)),
+            "mlp": init_linear(keys[-1], self.embedding_size,
+                               self.base_channels, leaky_relu_gain(_SLOPE)),
             "convs": convs,
         }
 
@@ -99,7 +104,7 @@ class DeconvVolumeDecoder:
         """priors: (1, bones+1, V, V, V) -> softmax volume of same shape."""
         h = linear(params["mlp"], params["const_embedding"][None])
         h = jax.nn.leaky_relu(h, _SLOPE)
-        h = h.reshape(1, 1024, 1, 1, 1)
+        h = h.reshape(1, self.base_channels, 1, 1, 1)
         for i, c in enumerate(params["convs"]):
             h = conv_transpose3d(h, c["w"], c["b"])
             if i < len(params["convs"]) - 1:

@@ -86,6 +86,9 @@ class NetworkConfig:
         "core.nets.occnerf.mweight_vol_decoders.deconv_vol_decoder"
     mweight_embedding_size: int = 256
     mweight_volume_size: int = 32
+    # 1024 = reference-exact ConvDecoder3D plan; smaller values shrink the
+    # deconv stack for memory-limited test meshes (TPU extension)
+    mweight_base_channels: int = 1024
 
     nr_multires: int = 6
     nr_i_embed: int = 0
@@ -130,6 +133,8 @@ class NetworkConfig:
             mweight_module=c.mweight_volume.module,
             mweight_embedding_size=c.mweight_volume.embedding_size,
             mweight_volume_size=c.mweight_volume.volume_size,
+            mweight_base_channels=c.mweight_volume.get(
+                "base_channels", 1024),
             nr_multires=c.non_rigid_motion_mlp.multires,
             nr_i_embed=c.non_rigid_motion_mlp.i_embed,
             nr_condition_size=c.non_rigid_motion_mlp.condition_code_size,
@@ -217,7 +222,8 @@ class Network:
             self.mweight_decoder = DeconvVolumeDecoder(
                 embedding_size=c.mweight_embedding_size,
                 volume_size=c.mweight_volume_size,
-                total_bones=c.total_bones)
+                total_bones=c.total_bones,
+                base_channels=c.mweight_base_channels)
 
         self.cnl_embed_dim = fourier_out_dim(c.cnl_multires, 3, True)
         self.cnl_mlp = None  # built in generate_neural_points (needs bound)

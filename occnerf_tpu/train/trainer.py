@@ -140,12 +140,31 @@ class Trainer:
         perturb = float(cfg.train.perturb)
         n_samples = cfg.N_samples
 
+        # patch-shard the perceptual loss: the ray axis shards as
+        # contiguous blocks that don't line up with whole patches, so the
+        # (N,3)->(P,s,s,3) reshape would otherwise all-gather and run the
+        # full VGG forward replicated on every chip.  Constraining the
+        # patch axis instead re-shards the (tiny) rgb/target tensors and
+        # each device convolves only its ceil(P/n) patches — the mesh
+        # analog of the reference's LPIPS DataParallel
+        # (`core/train/trainers/occnerf/trainer.py:70`).  GSPMD handles
+        # P % n != 0 by internal padding.
+        patch_sharding = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            patch_sharding = NamedSharding(
+                self.mesh, PartitionSpec(self.mesh.axis_names[0]))
+
         def loss_fn(params, state, statics, lpips_params, batch, it, key):
             out, new_state = network.forward(
                 params, statics, state, batch, it, training=True,
                 perturb=perturb, rng=key)
             rgb = out["rgb"].reshape(n_patches, psize, psize, 3)
             target = batch["target_patches"]
+            if patch_sharding is not None:
+                rgb = jax.lax.with_sharding_constraint(rgb, patch_sharding)
+                target = jax.lax.with_sharding_constraint(
+                    target, patch_sharding)
 
             losses = {}
             if "mse" in weights:

@@ -244,9 +244,14 @@ def test_production_trainer_mesh_dp_equals_single_device(tmp_path):
             "core.nets.occnerf.canonical_mlps.occnerf_mlp"
         c.canonical_mlp.mlp_depth = 2
         c.canonical_mlp.mlp_width = 32
+        # the production-default deconv decoder, shrunk via the
+        # base_channels TPU extension so the 8-way CPU mesh covers the
+        # conv-transpose sharding path (VERDICT r2 #6)
         c.mweight_volume.module = \
-            "core.nets.occnerf.mweight_vol_decoders.self_vol_decoder"
+            "core.nets.occnerf.mweight_vol_decoders.deconv_vol_decoder"
+        c.mweight_volume.embedding_size = 32
         c.mweight_volume.volume_size = 8
+        c.mweight_volume.base_channels = 64
         c.tpu.sample_compaction = 0.5  # flagship compaction path
         c.train.maxiter = 2
         c.progress.dump_interval = 10 ** 9
@@ -296,3 +301,24 @@ def test_production_trainer_mesh_dp_equals_single_device(tmp_path):
     np.testing.assert_allclose(
         np.asarray(t8.state["point_counter"]),
         np.asarray(t1.state["point_counter"]), atol=1e-5)
+
+    # the perceptual loss must be patch-SHARDED, not replicated: in the
+    # per-device SPMD program every 2-D VGG convolution carries at most
+    # ceil(P/n) patches (VERDICT r2 #5; the reference data-parallelizes
+    # LPIPS, trainer.py:70).  P=2 patches over 8 devices -> batch 1.
+    import re
+    dbatch = t8._shard_or_put(batches[0])
+    lowered = t8._train_step.lower(
+        t8.params, t8.state, t8.opt_state, t8.statics, t8.lpips_params,
+        dbatch, jnp.float32(1.0), jax.random.PRNGKey(0))
+    hlo = lowered.compile().as_text()
+    # match the conv's OUTPUT shape (after '='): rank-4 = the NHWC VGG
+    # convs (the 3-D deconv stack is rank-5 and exempt)
+    out_shape = re.compile(r"= f32\[(\d+),\d+,\d+,\d+\]\S* convolution\(")
+    vgg_convs = [(ln, out_shape.search(ln)) for ln in hlo.splitlines()
+                 if "convolution(" in ln]
+    vgg_convs = [(ln, m) for ln, m in vgg_convs if m]
+    assert vgg_convs, "no 2-D convolutions found in the train step HLO"
+    for ln, m in vgg_convs:
+        assert int(m.group(1)) <= 1, \
+            f"replicated VGG conv in per-device HLO: {ln.strip()[:120]}"
