@@ -397,25 +397,19 @@ class Network:
         if perturb > 0.0:
             z_vals = stratify_zvals(rng, z_vals)
 
-        ns_all = n * c.n_samples
-        frac = c.sample_compaction
-        K = min(ns_all, -(-int(ns_all * frac) // 512) * 512)
-        compact = self.is_occnerf_mlp and K < ns_all
-
         pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
-        # under compaction, only the kept top-K samples carry gradient
-        # into the motion weights (dropped rows get a stop-gradded zero
-        # compositing mask), so the weight-volume backward may compact
-        # its cotangent rows to the same bound
         x_skel, fg_mask_raw = sample_motion_fields(
             pts, motion_scale_Rs, motion_Ts, motion_weights_vol,
-            cnl_bbox_min_xyz, cnl_bbox_scale_xyz,
-            bwd_frac=frac if (training and compact) else 1.0)
+            cnl_bbox_min_xyz, cnl_bbox_scale_xyz)
         # padded rays (near = far = 0, ray_valid = 0) must composite to
         # exactly bgcolor: zero their foreground likelihood
         fg_mask = fg_mask_raw * ray_valid[:, None, None]
 
         flat = x_skel.reshape(-1, 3)
+        ns_all = flat.shape[0]
+        frac = c.sample_compaction
+        K = min(ns_all, -(-int(ns_all * frac) // 512) * 512)
+        compact = self.is_occnerf_mlp and K < ns_all
         raw0 = None
         if compact:
             # occupancy-guided compaction: rank samples by foreground

@@ -35,8 +35,6 @@ its bone column with a lane mask (Mosaic requires full-width or
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -204,37 +202,20 @@ def _pad_n(a, qb):
     return a, n
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+@jax.custom_vjp
 def trilinear_bone_weights(vols: jnp.ndarray, fx: jnp.ndarray,
-                           fy: jnp.ndarray, fz: jnp.ndarray,
-                           bwd_frac: float = 1.0) -> jnp.ndarray:
+                           fy: jnp.ndarray, fz: jnp.ndarray) -> jnp.ndarray:
     """Sample every bone volume at per-bone fractional coords.
 
     Args:
         vols: (B, 32, 32, 32) weight volumes.
         fx/fy/fz: (B, N) fractional voxel coordinates (0..31 in-range;
             out-of-range samples read 0 — grid_sample zero-padding).
-        bwd_frac: static bound on the fraction of sample rows carrying a
-            nonzero table cotangent.  Under occupancy-guided compaction
-            only the kept top-K samples feed the loss (dropped rows get a
-            stop-gradded zero mask), so their cotangent rows are exactly
-            zero; the table backward then sorts rows by cotangent
-            magnitude and runs the accumulation kernel on the top
-            ceil(frac*N) (rounded up to the 512-row block) only.  EXACT
-            iff at most that many rows are nonzero — the caller must pass
-            the same fraction that gates the forward compaction (1.0 =
-            no assumption, full backward).
 
     Returns:
         (B, N) interpolated weights.
     """
     return _fwd(vols, fx, fy, fz)[0]
-
-
-def _fwd_rule(vols, fx, fy, fz, bwd_frac):
-    # custom_vjp fwd sees args in their original positions; the nondiff
-    # bwd_frac is re-supplied to _bwd as a leading argument
-    return _fwd(vols, fx, fy, fz)
 
 
 def _fwd(vols, fx, fy, fz):
@@ -263,59 +244,29 @@ def _fwd(vols, fx, fy, fz):
     return w, (vols, fx, fy, fz)
 
 
-def _take_rows(a: jnp.ndarray, rows: jnp.ndarray) -> jnp.ndarray:
-    """Row gather of a 2-D array via the fast FLAT 1-D take path (see
-    ops/trilinear.py layout note — multi-dim fancy indexing lowers to a
-    scalar loop on TPU)."""
-    m = a.shape[1]
-    idx = rows[:, None] * m + jnp.arange(m, dtype=jnp.int32)[None, :]
-    return jnp.take(a.reshape(-1), idx)
-
-
-def _bwd(bwd_frac, res, g):
+def _bwd(res, g):
     vols, fx, fy, fz = res
     B, N = fx.shape
     tbl, fxT, fyT, fzT = _prep(vols, fx, fy, fz)
     fxT, n = _pad_n(fxT, Q_BLK)
     fyT, _ = _pad_n(fyT, Q_BLK)
     fzT, _ = _pad_n(fzT, Q_BLK)
-    # pad g with ZEROS (not the coord sentinel): pad rows must sort last
-    # in the cotangent-row compaction below and contribute nothing
-    gT = jnp.pad(g.T, ((0, (-g.shape[1]) % Q_BLK), (0, 0)))
+    gT, _ = _pad_n(g.T, Q_BLK)
     npad = fxT.shape[0]
     nblk = npad // Q_BLK
-
-    # table-cotangent row compaction: with occupancy-guided compaction
-    # only the kept rows carry gradient (the dropped rows' compositing
-    # mask is a stop-gradded zero), so sort rows by |cotangent| and feed
-    # the accumulation kernel the top K only.  K mirrors the forward
-    # compaction bound (512-aligned); the padded tail rows sort last
-    # (their g is exactly zero).
-    K = min(npad, -(-int(N * bwd_frac) // Q_BLK) * Q_BLK)
-    if K < npad:
-        key = jnp.sum(jnp.abs(gT), axis=1)                    # (npad,)
-        iota = jnp.arange(npad, dtype=jnp.int32)
-        _, perm = jax.lax.sort_key_val(-key, iota)
-        rows = perm[:K]
-        tfx, tfy, tfz, tg = (_take_rows(a, rows)
-                             for a in (fxT, fyT, fzT, gT))
-        t_nblk = K // Q_BLK
-    else:
-        tfx, tfy, tfz, tg = fxT, fyT, fzT, gT
-        t_nblk = nblk
 
     # dT: grid (B, nblk) — per-bone accumulator revisited over query blocks
     qspec_bi = pl.BlockSpec((Q_BLK, B), lambda b, i: (i, 0),
                             memory_space=pltpu.VMEM)
     dtbl = pl.pallas_call(
         _bwd_tbl_kernel,
-        grid=(B, t_nblk),
+        grid=(B, nblk),
         in_specs=[qspec_bi, qspec_bi, qspec_bi, qspec_bi],
         out_specs=pl.BlockSpec((1, ROWS, LANES), lambda b, i: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, ROWS, LANES), jnp.float32),
         interpret=_interpret(),
-    )(tfx, tfy, tfz, tg)
+    )(fxT, fyT, fzT, gT)
     dvols = dtbl[:, :, :D].reshape(B, D, D, D)
 
     # df: grid (nblk, B) — per-block outputs accumulated over bones
@@ -336,4 +287,4 @@ def _bwd(bwd_frac, res, g):
     return (dvols, dfx[:n].T, dfy[:n].T, dfz[:n].T)
 
 
-trilinear_bone_weights.defvjp(_fwd_rule, _bwd)
+trilinear_bone_weights.defvjp(_fwd, _bwd)

@@ -93,8 +93,7 @@ def sample_motion_fields(pts: jnp.ndarray,
                          cnl_bbox_min_xyz: jnp.ndarray,
                          cnl_bbox_scale_xyz: jnp.ndarray,
                          weight_clamp: float = 0.0001,
-                         use_pallas: bool | None = None,
-                         bwd_frac: float = 1.0):
+                         use_pallas: bool | None = None):
     """Inverse-LBS skeletal warp: observation points -> canonical points.
 
     Behavioral equivalent of `network.py:351-402` (minus its background
@@ -112,10 +111,6 @@ def sample_motion_fields(pts: jnp.ndarray,
             (`network.py:363`).
         cnl_bbox_min_xyz: (3,) canonical bbox min.
         cnl_bbox_scale_xyz: (3,) = 2 / (max - min).
-        bwd_frac: static bound on the fraction of samples whose motion
-            weights carry gradient (see
-            ``motion_pallas.trilinear_bone_weights``) — pass the
-            occupancy-compaction fraction during training, 1.0 otherwise.
 
     Returns:
         (x_skel (..., 3), fg_likelihood_mask (..., 1))
@@ -147,8 +142,7 @@ def sample_motion_fields(pts: jnp.ndarray,
         # XLA lowers this computed-index gather to a ~8.7 ns/element scalar
         # loop on TPU; the Pallas one-hot-matmul kernel is ~40x faster
         from .motion_pallas import trilinear_bone_weights
-        weights = trilinear_bone_weights(weights_vol, f[0], f[1], f[2],
-                                         bwd_frac)
+        weights = trilinear_bone_weights(weights_vol, f[0], f[1], f[2])
     else:
         weights = _flat_trilinear(weights_vol, f[0], f[1], f[2])  # (B, N)
     # saved (not recomputed) under the training remat policy: re-running

@@ -38,37 +38,6 @@ def test_motion_pallas_matches_xla_fwd_and_grads():
                                    atol=1e-4, err_msg=name)
 
 
-def test_motion_pallas_bwd_row_compaction_exact():
-    """trilinear_bone_weights(bwd_frac<1): the table backward that sorts
-    cotangent rows and processes only the top-K block is EXACT when at
-    most ceil(frac*N) rows are nonzero — the invariant occupancy
-    compaction provides (dropped rows carry a stop-gradded zero mask)."""
-    from occnerf_tpu.ops.motion_pallas import trilinear_bone_weights
-
-    B, D, N = 4, 32, 2048       # frac 0.25 -> K = 512 = one query block
-    rng = np.random.default_rng(3)
-    vols = jnp.asarray(rng.uniform(size=(B, D, D, D)).astype(np.float32))
-    fx = jnp.asarray(rng.uniform(-2, 33, (B, N)).astype(np.float32))
-    fy = jnp.asarray(rng.uniform(-2, 33, (B, N)).astype(np.float32))
-    fz = jnp.asarray(rng.uniform(-2, 33, (B, N)).astype(np.float32))
-    # row-sparse cotangent: nonzero for 500 scattered rows (<= K = 512),
-    # bone-DEPENDENT values (the compaction must not assume otherwise)
-    rows = rng.choice(N, size=500, replace=False)
-    gmask = np.zeros((N,), np.float32)
-    gmask[rows] = 1.0
-    gval = jnp.asarray(rng.normal(size=(B, N)).astype(np.float32)
-                       * gmask[None, :])
-
-    def loss(frac, vols):
-        w = trilinear_bone_weights(vols, fx, fy, fz, frac)
-        return jnp.sum(w * gval)
-
-    g_full = jax.grad(loss, argnums=1)(1.0, vols)
-    g_cmp = jax.grad(loss, argnums=1)(0.25, vols)
-    np.testing.assert_allclose(np.asarray(g_cmp), np.asarray(g_full),
-                               atol=1e-5)
-
-
 def test_hashgrid_pallas_matches_xla():
     from occnerf_tpu.ops.hashgrid import HashGridSpec, hash_grid_encode
     from occnerf_tpu.ops.hashgrid_pallas import (hash_grid_encode_tpu,
