@@ -157,7 +157,12 @@ class OccNeRFCanonicalMLP:
         min-shift, max-normalize, variance feature, softmax (detached).
 
         ``atts`` is 2-D (N, K) — trailing singleton dims force transposed
-        TPU layouts (two ~10 ms layout copies per step measured)."""
+        TPU layouts (two ~10 ms layout copies per step measured).
+        ``feats`` may carry the att lane itself at channel 0 (the fused
+        (N, K, 36) gather): the weighted sum runs over ALL channels and
+        the caller drops lane 0 after the reduction — slicing (N, K, 35)
+        out of the gather beforehand costs a ~24 ms pad in the backward
+        (d(gathered) = concat(0, d(feats))) plus layout copies."""
         atts = atts + 1.0 - jnp.min(atts, axis=1, keepdims=True)
         atts = atts / jnp.max(atts, axis=1, keepdims=True)
         var = jnp.var(atts, axis=1, ddof=1, keepdims=True)       # (N, 1)
@@ -237,10 +242,14 @@ class OccNeRFCanonicalMLP:
                 params, knn_att_per_vertex, surface_points, point_sdf,
                 learnable_points, concat_map)
         gathered = vert_feat[knn_idxs.reshape(N, -1)]            # (N,4k,36)
-        knn_att = jax.lax.stop_gradient(gathered[..., 0])        # (N,4k)
-        knn_feats = gathered[..., 1:]                            # (N,4k,35)
+        # extract the visibility lane as a contraction (a strided lane-0
+        # slice forces transposed layouts + copies, ~45 ms/step measured)
+        e0 = jnp.zeros((gathered.shape[-1],), gathered.dtype).at[0].set(1.0)
+        knn_att = jax.lax.stop_gradient(
+            jnp.einsum("nkc,c->nk", gathered, e0))               # (N,4k)
 
-        agg, var = self.simple_agg(knn_att, knn_feats)           # (N,35),(N,1)
+        agg36, var = self.simple_agg(knn_att, gathered)  # (N,36),(N,1)
+        agg = agg36[:, 1:]                               # drop the att lane
 
         h = jnp.concatenate([agg, var, h_enc], axis=-1)
         for p in params["pts_linears"]:
