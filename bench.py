@@ -47,7 +47,7 @@ def main() -> None:
         "progress.dump_interval", "1000000000",
         "train.save_checkpt_interval", "1000000000",
         "train.log_interval", "1000000000",
-    ])
+    ] + sys.argv[1:])   # extra "key value" pairs for knob sweeps
     c.logdir = os.path.join(tmp, "logs")  # logdir is derived; redirect
 
     from occnerf_tpu.app import build_model

@@ -398,18 +398,33 @@ class Network:
             z_vals = stratify_zvals(rng, z_vals)
 
         pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+        ns_all = n * c.n_samples
+        frac = c.sample_compaction
+        K = min(ns_all, -(-int(ns_all * frac) // 512) * 512)
+        compact = self.is_occnerf_mlp and K < ns_all
+        # Under compaction during training the motion backward only needs
+        # the kept rows: dropped rows carry no gradient anywhere (their
+        # compositing mask is a stop-gradded zero and their canonical
+        # points are never queried), so the full-N pass runs with
+        # stop-gradded motion inputs (it feeds only the ranking and
+        # stop-grad consumers) and a second differentiable pass covers
+        # just the kept K rows.  That removes the dropped rows' share of
+        # the motion kernel's backward — the weight-table scatter and the
+        # coordinate gradients — for the cost of a K-row extra forward.
+        # Exactness vs the single-pass full backward is asserted by
+        # tests/test_network.py::test_sample_compaction_exact.
+        two_pass = training and compact
+        sg = jax.lax.stop_gradient
         x_skel, fg_mask_raw = sample_motion_fields(
-            pts, motion_scale_Rs, motion_Ts, motion_weights_vol,
+            pts, sg(motion_scale_Rs) if two_pass else motion_scale_Rs,
+            sg(motion_Ts) if two_pass else motion_Ts,
+            sg(motion_weights_vol) if two_pass else motion_weights_vol,
             cnl_bbox_min_xyz, cnl_bbox_scale_xyz)
         # padded rays (near = far = 0, ray_valid = 0) must composite to
         # exactly bgcolor: zero their foreground likelihood
         fg_mask = fg_mask_raw * ray_valid[:, None, None]
 
         flat = x_skel.reshape(-1, 3)
-        ns_all = flat.shape[0]
-        frac = c.sample_compaction
-        K = min(ns_all, -(-int(ns_all * frac) // 512) * 512)
-        compact = self.is_occnerf_mlp and K < ns_all
         raw0 = None
         if compact:
             # occupancy-guided compaction: rank samples by foreground
@@ -425,8 +440,31 @@ class Network:
             iota = jnp.arange(ns_all, dtype=jnp.int32)
             _, perm = jax.lax.sort_key_val(-mflat, iota)
             _, iperm = jax.lax.sort_key_val(perm, iota)
+            kept_rows = perm[:K]
+            if two_pass:
+                # differentiable motion pass on the kept rows only;
+                # per-row compute makes the values bit-identical to the
+                # full-N pass, now with gradients attached
+                pts_kept = pts.reshape(-1, 3)[kept_rows]
+                flat_kept, m_kept = sample_motion_fields(
+                    pts_kept, motion_scale_Rs, motion_Ts,
+                    motion_weights_vol, cnl_bbox_min_xyz,
+                    cnl_bbox_scale_xyz)                 # (K, 3), (K, 1)
+                # rebuild the compositing mask from the differentiable
+                # kept-row values; dropped rows are exactly 0 (no phantom
+                # density, no gradient)
+                rv = jnp.broadcast_to(
+                    ray_valid[:, None], (n, c.n_samples)).reshape(-1)
+                m_sorted = jnp.concatenate(
+                    [m_kept[:, 0] * rv[kept_rows],
+                     jnp.zeros((ns_all - K,), m_kept.dtype)])
+                fg_mask = _permute_rows(
+                    m_sorted[:, None], iperm, perm).reshape(
+                        n, c.n_samples, 1)
+            else:
+                flat_kept = flat[kept_rows]
             xyz_q = jnp.concatenate(
-                [flat[perm[:K]], jnp.zeros((1, 3), flat.dtype)], axis=0)
+                [flat_kept, jnp.zeros((1, 3), flat.dtype)], axis=0)
             raws_q, _ = self._query_canonical(
                 params, statics, state, xyz_q, iter_val, non_rigid_input,
                 ignore_non_rigid, vertex_quant, vert_feat,
@@ -437,12 +475,14 @@ class Network:
                  jnp.zeros((ns_all - K, raws_q.shape[-1]), raws_q.dtype)],
                 axis=0)
             raws = _permute_rows(raws_sorted, iperm, perm)
-            # zero the compositing mask of dropped rows so they carry no
-            # phantom density (sorted rank >= K means the row was dropped)
-            kept = jax.lax.stop_gradient(
-                (iperm < K).astype(fg_mask.dtype)).reshape(
-                    n, c.n_samples, 1)
-            fg_mask = fg_mask * kept
+            if not two_pass:
+                # zero the compositing mask of dropped rows so they carry
+                # no phantom density (sorted rank >= K == dropped); the
+                # two-pass branch already rebuilt fg_mask with exact zeros
+                kept = jax.lax.stop_gradient(
+                    (iperm < K).astype(fg_mask.dtype)).reshape(
+                        n, c.n_samples, 1)
+                fg_mask = fg_mask * kept
         else:
             raws, _ = self._query_canonical(
                 params, statics, state, flat, iter_val, non_rigid_input,
