@@ -1,27 +1,36 @@
 #!/usr/bin/env python
-"""Render throughput benchmark: rays/sec at the t-pose camera geometry.
+"""Capture a profiler trace of the eval/render path and summarize it.
 
-The BASELINE.json north-star's second metric: inference rays/sec/chip at a
-512x512 render (the tpose camera, `core/data/occnerf/tpose.py:22-25`),
-flagship OccNeRF MLP, no gradients.
+Same workload as benchmarks/bench_render.py (512x512 tpose camera,
+flagship OccNeRF MLP, no gradients — the inference half of the
+BASELINE.json north star), wrapping N post-compile renders in
+``jax.profiler.start_trace`` and printing the per-op self-time table via
+tools/summarize_profile.py.
 
-Usage: python benchmarks/bench_render.py
+Usage: python benchmarks/profile_render.py [--steps 3] [--out DIR]
 """
 
 from __future__ import annotations
 
+import argparse
 import os
+import subprocess
 import sys
 import tempfile
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 os.pardir))
 
-import numpy as np  # noqa: E402
-
 
 def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--out", default="")
+    ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--eval-chunk", type=int, default=2048)
+    ap.add_argument("--compaction", type=float, default=0.375)
+    args = ap.parse_args()
+
     import jax
 
     from occnerf_tpu.config import get_default_cfg, set_cfg
@@ -32,19 +41,11 @@ def main() -> None:
     make_synthetic_subject(subject_path, n_frames=2, img_size=512,
                            n_verts=1024, seed=0)
 
-    import argparse
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--eval-chunk", type=int, default=2048,
-                    help="rays per render chunk (tpu.eval_chunk)")
-    ap.add_argument("--compaction", type=float, default=0.375)
-    args = ap.parse_args()
-
     c = get_default_cfg()
     c.synthetic_dataset_path = subject_path
     c.canonical_mlp.module = "core.nets.occnerf.canonical_mlps.occnerf_mlp"
     c.canonical_mlp.mlp_depth = 4
     c.canonical_mlp.log2_hashmap_size = 14
-    # recommended TPU configuration (see bench.py / docs/ROADMAP.md)
     c.tpu.sample_compaction = args.compaction
     c.tpu.eval_chunk = args.eval_chunk
     c.logdir = os.path.join(tmp, "logs")
@@ -56,7 +57,6 @@ def main() -> None:
 
     ds = create_dataset("tpose")
     network, statics, params, state = build_model(ds.subject)
-
     batch = ds[0]
     n_rays = batch["rays"].shape[1]
 
@@ -71,17 +71,19 @@ def main() -> None:
     rgb = render(params, state, dbatch)
     _ = float(rgb[0, 0])  # force completion (block_until_ready lies here)
 
-    times = []
-    for _i in range(5):
-        t0 = time.time()
+    trace_dir = args.out or os.path.join(tmp, "trace")
+    jax.profiler.start_trace(trace_dir)
+    for _i in range(args.steps):
         rgb = render(params, state, dbatch)
         _ = float(rgb[123, 1])
-        times.append(time.time() - t0)
-    dt = float(np.median(times))
-    print(f"render {n_rays} rays x {c.N_samples} samples: "
-          f"{dt * 1000:.0f} ms -> {n_rays / dt:.0f} rays/s/chip "
-          f"(512x512 tpose camera, occnerf MLP, eval_chunk "
-          f"{args.eval_chunk}, compaction {args.compaction})")
+    jax.profiler.stop_trace()
+    print(f"# {n_rays} rays; trace written to {trace_dir}", flush=True)
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    subprocess.run([sys.executable,
+                    os.path.join(here, os.pardir, "tools",
+                                 "summarize_profile.py"),
+                    trace_dir, str(args.top), str(args.steps)], check=False)
 
 
 if __name__ == "__main__":

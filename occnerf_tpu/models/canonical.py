@@ -27,7 +27,7 @@ from ..ops import hashgrid_pallas
 from .layers import RELU_GAIN, init_linear, linear
 
 
-def _encode_no_input_grad(x, table, spec):
+def _encode_no_input_grad(x, table, spec, enc_dtype=None):
     """Hash-grid encode for inputs that carry no gradient.
 
     Backend per ``cfg.tpu.hashgrid_backend`` (ops.set_hashgrid_backend):
@@ -35,6 +35,10 @@ def _encode_no_input_grad(x, table, spec):
     (tables <= 2^15), the sorted scatter-free backward for bigger tables
     on TPU (the XLA AD scatter lowering costs ~14 s per reference-scale
     step at 2^19), and the plain XLA path off-TPU.
+
+    ``enc_dtype`` overrides the Pallas kernel's matmul input dtype for
+    this call (the no-grad eval path passes bfloat16); the sorted/XLA
+    backends are exact gathers and ignore it.
     """
     from .. import ops as _ops
     backend = _ops.HASHGRID_BACKEND
@@ -47,7 +51,8 @@ def _encode_no_input_grad(x, table, spec):
         else:
             backend = "xla"
     if backend == "pallas":
-        out = hashgrid_pallas.hash_grid_encode_tpu(x, table, spec)
+        out = hashgrid_pallas.hash_grid_encode_tpu(x, table, spec,
+                                                   compute_dtype=enc_dtype)
     elif backend == "sorted":
         out = hash_grid_encode_sorted(x, table, spec)
     else:
@@ -201,7 +206,8 @@ class OccNeRFCanonicalMLP:
               point_sdf: jnp.ndarray | None = None,
               learnable_points: jnp.ndarray | None = None,
               concat_map: jnp.ndarray | None = None,
-              vert_feat: jnp.ndarray | None = None, **_):
+              vert_feat: jnp.ndarray | None = None,
+              enc_dtype=None, **_):
         """``knn_idxs`` address either the base cloud (concat_map=None) or
         the concatenated [base; FPS levels] cloud (concat_map maps
         concatenated rows to base indices).  Pass a precomputed
@@ -231,7 +237,7 @@ class OccNeRFCanonicalMLP:
         h_enc = _encode_no_input_grad(
             jax.lax.stop_gradient(
                 jnp.concatenate([surf, normed_dist], axis=-1)),
-            params["encoder"], self.spec)                        # (N, 32)
+            params["encoder"], self.spec, enc_dtype)             # (N, 32)
 
         # per-vertex features gathered over the 4x10 neighbourhood
         # (occnerf_mlp.py:171-178).  The visibility counter rides the same

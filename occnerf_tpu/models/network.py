@@ -70,6 +70,11 @@ class NetworkConfig:
     knn_k: int = 10
     sdf_k: int = 3
     knn_backend: str = "approx"
+    # matmul input dtype of the stop-gradient compaction-ranking pass
+    # (two-pass training) and of the no-grad eval/render path; bfloat16
+    # ~halves the two Pallas kernels' MXU time (cfg.tpu.* knobs)
+    rank_compute_dtype: str = "float32"
+    eval_compute_dtype: str = "float32"
 
     canonical_module: str = "core.nets.occnerf.canonical_mlps.occnerf_mlp"
     cnl_mlp_depth: int = 4
@@ -118,6 +123,10 @@ class NetworkConfig:
                 c.get("tpu", {}).get("sample_compaction", 1.0)),
             bbox_offset=c.bbox_offset,
             knn_backend=c.get("tpu", {}).get("knn_backend", "approx"),
+            rank_compute_dtype=c.get("tpu", {}).get(
+                "rank_compute_dtype", "float32"),
+            eval_compute_dtype=c.get("tpu", {}).get(
+                "eval_compute_dtype", "float32"),
             canonical_module=c.canonical_mlp.module,
             cnl_mlp_depth=c.canonical_mlp.mlp_depth,
             cnl_mlp_width=c.canonical_mlp.mlp_width,
@@ -337,7 +346,8 @@ class Network:
 
     def _query_canonical(self, params, statics, state, xyz, iter_val,
                          non_rigid_input, ignore_non_rigid,
-                         vertex_quant, vert_feat, training=False):
+                         vertex_quant, vert_feat, training=False,
+                         enc_dtype=None):
         """Per-sample MLP query (network.py:202-304): non-rigid offset,
         multiscale KNN, visibility attention, canonical MLP."""
         c = self.cfg
@@ -382,7 +392,8 @@ class Network:
 
         raws = self.cnl_mlp.apply(
             params["cnl_mlp"], xyz=xyz, knn_points=knn_points,
-            point_norms=point_norms, knn_idxs=idx, vert_feat=vert_feat)
+            point_norms=point_norms, knn_idxs=idx, vert_feat=vert_feat,
+            enc_dtype=enc_dtype)
         return raws, xyz
 
     def _render_chunk(self, params, statics, state, rays_o, rays_d, near,
@@ -415,11 +426,20 @@ class Network:
         # tests/test_network.py::test_sample_compaction_exact.
         two_pass = training and compact
         sg = jax.lax.stop_gradient
+        # per-call matmul dtype: the stop-gradded ranking pass and the
+        # no-grad eval path may run bfloat16 (cfg.tpu.{rank,eval}_
+        # compute_dtype); the differentiable train pass never does
+        eval_dt = (jnp.bfloat16 if not training
+                   and c.eval_compute_dtype == "bfloat16" else None)
+        rank_dt = (jnp.bfloat16 if two_pass
+                   and c.rank_compute_dtype == "bfloat16" else eval_dt)
         x_skel, fg_mask_raw = sample_motion_fields(
             pts, sg(motion_scale_Rs) if two_pass else motion_scale_Rs,
             sg(motion_Ts) if two_pass else motion_Ts,
             sg(motion_weights_vol) if two_pass else motion_weights_vol,
-            cnl_bbox_min_xyz, cnl_bbox_scale_xyz)
+            cnl_bbox_min_xyz, cnl_bbox_scale_xyz,
+            compute_dtype=rank_dt if two_pass else
+            (eval_dt if not training else None))
         # padded rays (near = far = 0, ray_valid = 0) must composite to
         # exactly bgcolor: zero their foreground likelihood
         fg_mask = fg_mask_raw * ray_valid[:, None, None]
@@ -468,7 +488,7 @@ class Network:
             raws_q, _ = self._query_canonical(
                 params, statics, state, xyz_q, iter_val, non_rigid_input,
                 ignore_non_rigid, vertex_quant, vert_feat,
-                training=training)
+                training=training, enc_dtype=eval_dt)
             raw0 = raws_q[K]
             raws_sorted = jnp.concatenate(
                 [raws_q[:K],
@@ -487,7 +507,7 @@ class Network:
             raws, _ = self._query_canonical(
                 params, statics, state, flat, iter_val, non_rigid_input,
                 ignore_non_rigid, vertex_quant, vert_feat,
-                training=training)
+                training=training, enc_dtype=eval_dt)
         raw = raws.reshape(n, c.n_samples, -1)
 
         out = raw2outputs(raw, fg_mask, z_vals, rays_d, bgcolor)

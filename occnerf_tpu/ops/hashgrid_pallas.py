@@ -40,10 +40,18 @@ LANES = 128
 Q_BLK = 512
 MAX_LOG2 = 15          # one-hot matmul viable up to 2^15-entry tables
 
-# matmul input dtype: float32 (exact vs the XLA path) or bfloat16
+# default matmul input dtype: float32 (exact vs the XLA path) or bfloat16
 # (~0.4% feature rounding, ~2x MXU).  Set BEFORE the first jit trace, e.g.
-# via occnerf_tpu.ops.set_compute_dtype.
+# via occnerf_tpu.ops.set_compute_dtype; per-call override via
+# hash_grid_encode_tpu(compute_dtype=...).
 COMPUTE_DTYPE = jnp.float32
+
+_DTYPES = {"f32": jnp.float32, "bf16": jnp.bfloat16}
+
+
+def _dt_key(dtype) -> str:
+    """Hashable key for a matmul dtype (custom_vjp static arg)."""
+    return "bf16" if jnp.dtype(dtype) == jnp.bfloat16 else "f32"
 
 
 def supports(spec: HashGridSpec) -> bool:
@@ -133,7 +141,9 @@ def _corner_hw(ci, grids, fracs, primes, E):
     return h & (E - 1), w
 
 
-def _build_fwd_kernel(spec: HashGridSpec, E: int, n_rows: int):
+def _build_fwd_kernel(spec: HashGridSpec, E: int, n_rows: int,
+                      cdt=None):
+    cdt = COMPUTE_DTYPE if cdt is None else cdt
     L = spec.num_levels
     D = spec.input_dim
     n_corners = 1 << D
@@ -171,11 +181,11 @@ def _build_fwd_kernel(spec: HashGridSpec, E: int, n_rows: int):
                     ci = cg * UNROLL + u
                     h, w = _corner_hw(ci, grids, fracs, primes, E)
                     row = h // 64
-                    onehot = (row_iota == row).astype(COMPUTE_DTYPE)
+                    onehot = (row_iota == row).astype(cdt)
                     # NOTE: Mosaic requires 32-bit matmul accumulators
                     # ('tpu.matmul op Expected matmul acc to be 32-bit'),
-                    # so bf16 COMPUTE_DTYPE only narrows the inputs
-                    A = jnp.dot(onehot, tbl.astype(COMPUTE_DTYPE),
+                    # so bf16 only narrows the inputs
+                    A = jnp.dot(onehot, tbl.astype(cdt),
                                 preferred_element_type=jnp.float32)
                     # keep only the corner's two feature lanes, weighted;
                     # corners accumulate in ONE (Q, 128) panel and the
@@ -194,7 +204,9 @@ def _build_fwd_kernel(spec: HashGridSpec, E: int, n_rows: int):
     return kernel
 
 
-def _build_bwd_kernel(spec: HashGridSpec, E: int, n_rows: int):
+def _build_bwd_kernel(spec: HashGridSpec, E: int, n_rows: int,
+                      cdt=None):
+    cdt = COMPUTE_DTYPE if cdt is None else cdt
     L = spec.num_levels
     D = spec.input_dim
 
@@ -235,11 +247,11 @@ def _build_bwd_kernel(spec: HashGridSpec, E: int, n_rows: int):
             def body(ci, dlvl, grids=grids, fracs=fracs, g01=g01):
                 h, w = _corner_hw(ci, grids, fracs, primes, E)
                 row = h // 64
-                onehot = (row_iota == row).astype(COMPUTE_DTYPE)
+                onehot = (row_iota == row).astype(cdt)
                 pair = (half_iota == h % 64).astype(jnp.float32)
                 dA = (w * pair) * g01
                 return dlvl + jnp.dot(onehot.T,
-                                      dA.astype(COMPUTE_DTYPE),
+                                      dA.astype(cdt),
                                       preferred_element_type=jnp.float32)
 
             dtbl_ref[lvl] += jax.lax.fori_loop(
@@ -266,23 +278,29 @@ def _unprep_tables(t: jnp.ndarray, spec: HashGridSpec, E: int,
 
 
 def hash_grid_encode_tpu(inputs: jnp.ndarray, table: jnp.ndarray,
-                         spec: HashGridSpec) -> jnp.ndarray:
+                         spec: HashGridSpec,
+                         compute_dtype=None) -> jnp.ndarray:
     """MXU hash-grid encode for capped tables.  Inputs get NO gradient
     (call sites must stop-gradient them); the table gets the exact
-    scatter-add gradient via transposed one-hot matmuls."""
+    scatter-add gradient via transposed one-hot matmuls.
+
+    ``compute_dtype`` overrides the module-default matmul input dtype for
+    this call (bfloat16: ~0.4% feature rounding, ~2x MXU — for no-grad
+    eval/render paths)."""
     assert supports(spec), "spec not kernel-compatible; use hash_grid_encode"
+    dt = COMPUTE_DTYPE if compute_dtype is None else compute_dtype
     shape = inputs.shape[:-1]
     x = inputs.reshape(-1, spec.input_dim).astype(jnp.float32)
-    out = _encode(x, table, spec)
+    out = _encode(x, table, spec, _dt_key(dt))
     return out.reshape(shape + (spec.output_dim,))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _encode(x, table, spec):
-    return _encode_fwd(x, table, spec)[0]
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _encode(x, table, spec, dtk):
+    return _encode_fwd(x, table, spec, dtk)[0]
 
 
-def _encode_fwd(x, table, spec):
+def _encode_fwd(x, table, spec, dtk):
     E = 2 ** spec.log2_hashmap_size
     n_rows = E // 64
     n = x.shape[0]
@@ -292,7 +310,7 @@ def _encode_fwd(x, table, spec):
     tbl = _prep_tables(table, spec, E)
 
     out = pl.pallas_call(
-        _build_fwd_kernel(spec, E, n_rows),
+        _build_fwd_kernel(spec, E, n_rows, _DTYPES[dtk]),
         grid=(nblk,),
         in_specs=[
             pl.BlockSpec((Q_BLK, spec.input_dim), lambda i: (i, 0),
@@ -309,7 +327,7 @@ def _encode_fwd(x, table, spec):
     return out[:n], (x, table)
 
 
-def _encode_bwd(spec, res, g):
+def _encode_bwd(spec, dtk, res, g):
     x, table = res
     E = 2 ** spec.log2_hashmap_size
     n_rows = E // 64
@@ -320,7 +338,7 @@ def _encode_bwd(spec, res, g):
     nblk = xp.shape[0] // Q_BLK
 
     dtbl = pl.pallas_call(
-        _build_bwd_kernel(spec, E, n_rows),
+        _build_bwd_kernel(spec, E, n_rows, _DTYPES[dtk]),
         grid=(nblk,),
         in_specs=[
             pl.BlockSpec((Q_BLK, spec.input_dim), lambda i: (i, 0),

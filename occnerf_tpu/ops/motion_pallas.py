@@ -35,6 +35,8 @@ its bone column with a lane mask (Mosaic requires full-width or
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -45,8 +47,16 @@ ROWS = D * D           # 1024
 LANES = 128
 Q_BLK = 512            # queries per grid step
 
-# matmul input dtype (see hashgrid_pallas.COMPUTE_DTYPE)
+# default matmul input dtype (see hashgrid_pallas.COMPUTE_DTYPE);
+# per-call override via trilinear_bone_weights(compute_dtype=...)
 COMPUTE_DTYPE = jnp.float32
+
+_DTYPES = {"f32": jnp.float32, "bf16": jnp.bfloat16}
+
+
+def _dt_key(dtype) -> str:
+    """Hashable key for a matmul dtype (custom_vjp static arg)."""
+    return "bf16" if jnp.dtype(dtype) == jnp.bfloat16 else "f32"
 
 
 def _interpret() -> bool:
@@ -89,7 +99,7 @@ def _xlane(q):
 
 
 # ---------------------------------------------------------------------------
-def _fwd_kernel(fx_ref, fy_ref, fz_ref, tbl_ref, out_ref):
+def _fwd_kernel(cdt, fx_ref, fy_ref, fz_ref, tbl_ref, out_ref):
     b = pl.program_id(1)
     nb = out_ref.shape[1]
     fx = _col(fx_ref, b, nb)
@@ -99,8 +109,7 @@ def _fwd_kernel(fx_ref, fy_ref, fz_ref, tbl_ref, out_ref):
     q = fx.shape[0]
     zl, yl = _zy_lanes(q)
     F = _tent(fz, zl) * _tent(fy, yl)                # (Q, 1024)
-    A = jnp.dot(F.astype(COMPUTE_DTYPE),
-                tbl_ref[0].astype(COMPUTE_DTYPE),
+    A = jnp.dot(F.astype(cdt), tbl_ref[0].astype(cdt),
                 preferred_element_type=jnp.float32)
     W = _tent(fx, _xlane(q))                         # (Q, 128)
     val = jnp.sum(A * W, axis=1, keepdims=True)      # (Q, 1)
@@ -113,7 +122,7 @@ def _fwd_kernel(fx_ref, fy_ref, fz_ref, tbl_ref, out_ref):
     out_ref[:] += jnp.where(lane == b, val, 0.0)
 
 
-def _bwd_tbl_kernel(fx_ref, fy_ref, fz_ref, g_ref, dtbl_ref):
+def _bwd_tbl_kernel(cdt, fx_ref, fy_ref, fz_ref, g_ref, dtbl_ref):
     """dT accumulation: grid (B, nblk), nblk inner; dT revisited across
     the consecutive query blocks of each bone."""
     b = pl.program_id(0)
@@ -133,12 +142,11 @@ def _bwd_tbl_kernel(fx_ref, fy_ref, fz_ref, g_ref, dtbl_ref):
     F = _tent(fz, zl) * _tent(fy, yl)
     W = _tent(fx, _xlane(q))
     dA = g * W                                       # (Q, 128)
-    dtbl_ref[0] += jnp.dot(F.T.astype(COMPUTE_DTYPE),
-                           dA.astype(COMPUTE_DTYPE),
+    dtbl_ref[0] += jnp.dot(F.T.astype(cdt), dA.astype(cdt),
                            preferred_element_type=jnp.float32)
 
 
-def _bwd_f_kernel(fx_ref, fy_ref, fz_ref, g_ref, tbl_ref,
+def _bwd_f_kernel(cdt, fx_ref, fy_ref, fz_ref, g_ref, tbl_ref,
                   dfx_ref, dfy_ref, dfz_ref):
     """Coordinate gradients; grid (nblk, B), bones inner, df blocks
     accumulated across bones into their lane columns."""
@@ -148,7 +156,7 @@ def _bwd_f_kernel(fx_ref, fy_ref, fz_ref, g_ref, tbl_ref,
     fy = _col(fy_ref, b, nb)
     fz = _col(fz_ref, b, nb)
     g = _col(g_ref, b, nb)
-    tbl = tbl_ref[0].astype(COMPUTE_DTYPE)           # (1024, 128)
+    tbl = tbl_ref[0].astype(cdt)                     # (1024, 128)
 
     q = fx.shape[0]
     zl, yl = _zy_lanes(q)
@@ -158,7 +166,7 @@ def _bwd_f_kernel(fx_ref, fy_ref, fz_ref, g_ref, tbl_ref,
     W = _tent(fx, xl)
 
     def contract(S):
-        return jnp.dot(S.astype(COMPUTE_DTYPE), tbl,
+        return jnp.dot(S.astype(cdt), tbl,
                        preferred_element_type=jnp.float32)
 
     A = contract(Zt * Yt)                            # (Q, 128)
@@ -202,23 +210,35 @@ def _pad_n(a, qb):
     return a, n
 
 
-@jax.custom_vjp
 def trilinear_bone_weights(vols: jnp.ndarray, fx: jnp.ndarray,
-                           fy: jnp.ndarray, fz: jnp.ndarray) -> jnp.ndarray:
+                           fy: jnp.ndarray, fz: jnp.ndarray,
+                           compute_dtype=None) -> jnp.ndarray:
     """Sample every bone volume at per-bone fractional coords.
 
     Args:
         vols: (B, 32, 32, 32) weight volumes.
         fx/fy/fz: (B, N) fractional voxel coordinates (0..31 in-range;
             out-of-range samples read 0 — grid_sample zero-padding).
+        compute_dtype: matmul input dtype for this call (None = the
+            module default set via ops.set_compute_dtype).  bfloat16
+            rounds the tent weights/table to 8 mantissa bits (~4e-3
+            weight error) for ~2x MXU rate — acceptable for no-grad
+            ranking/eval calls, not for the differentiable train pass.
 
     Returns:
         (B, N) interpolated weights.
     """
-    return _fwd(vols, fx, fy, fz)[0]
+    dt = COMPUTE_DTYPE if compute_dtype is None else compute_dtype
+    return _tbw(_dt_key(dt), vols, fx, fy, fz)
 
 
-def _fwd(vols, fx, fy, fz):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _tbw(dtk, vols, fx, fy, fz):
+    return _fwd(dtk, vols, fx, fy, fz)[0]
+
+
+def _fwd(dtk, vols, fx, fy, fz):
+    cdt = _DTYPES[dtk]
     B, N = fx.shape
     tbl, fxT, fyT, fzT = _prep(vols, fx, fy, fz)
     fxT, n = _pad_n(fxT, Q_BLK)
@@ -230,7 +250,7 @@ def _fwd(vols, fx, fy, fz):
     qspec = pl.BlockSpec((Q_BLK, B), lambda i, b: (i, 0),
                          memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        _fwd_kernel,
+        functools.partial(_fwd_kernel, cdt),
         grid=(nblk, B),
         in_specs=[qspec, qspec, qspec,
                   pl.BlockSpec((1, ROWS, LANES), lambda i, b: (b, 0, 0),
@@ -244,7 +264,8 @@ def _fwd(vols, fx, fy, fz):
     return w, (vols, fx, fy, fz)
 
 
-def _bwd(res, g):
+def _bwd(dtk, res, g):
+    cdt = _DTYPES[dtk]
     vols, fx, fy, fz = res
     B, N = fx.shape
     tbl, fxT, fyT, fzT = _prep(vols, fx, fy, fz)
@@ -259,7 +280,7 @@ def _bwd(res, g):
     qspec_bi = pl.BlockSpec((Q_BLK, B), lambda b, i: (i, 0),
                             memory_space=pltpu.VMEM)
     dtbl = pl.pallas_call(
-        _bwd_tbl_kernel,
+        functools.partial(_bwd_tbl_kernel, cdt),
         grid=(B, nblk),
         in_specs=[qspec_bi, qspec_bi, qspec_bi, qspec_bi],
         out_specs=pl.BlockSpec((1, ROWS, LANES), lambda b, i: (b, 0, 0),
@@ -273,7 +294,7 @@ def _bwd(res, g):
     qspec_ib = pl.BlockSpec((Q_BLK, B), lambda i, b: (i, 0),
                             memory_space=pltpu.VMEM)
     dfx, dfy, dfz = pl.pallas_call(
-        _bwd_f_kernel,
+        functools.partial(_bwd_f_kernel, cdt),
         grid=(nblk, B),
         in_specs=[qspec_ib, qspec_ib, qspec_ib, qspec_ib,
                   pl.BlockSpec((1, ROWS, LANES), lambda i, b: (b, 0, 0),
@@ -287,4 +308,4 @@ def _bwd(res, g):
     return (dvols, dfx[:n].T, dfy[:n].T, dfz[:n].T)
 
 
-trilinear_bone_weights.defvjp(_fwd, _bwd)
+_tbw.defvjp(_fwd, _bwd)

@@ -93,7 +93,8 @@ def sample_motion_fields(pts: jnp.ndarray,
                          cnl_bbox_min_xyz: jnp.ndarray,
                          cnl_bbox_scale_xyz: jnp.ndarray,
                          weight_clamp: float = 0.0001,
-                         use_pallas: bool | None = None):
+                         use_pallas: bool | None = None,
+                         compute_dtype=None):
     """Inverse-LBS skeletal warp: observation points -> canonical points.
 
     Behavioral equivalent of `network.py:351-402` (minus its background
@@ -111,6 +112,9 @@ def sample_motion_fields(pts: jnp.ndarray,
             (`network.py:363`).
         cnl_bbox_min_xyz: (3,) canonical bbox min.
         cnl_bbox_scale_xyz: (3,) = 2 / (max - min).
+        compute_dtype: per-call matmul input dtype for the Pallas kernel
+            (None = module default).  bfloat16 is for no-grad callers
+            only (compaction ranking, eval renders); see motion_pallas.
 
     Returns:
         (x_skel (..., 3), fg_likelihood_mask (..., 1))
@@ -142,7 +146,8 @@ def sample_motion_fields(pts: jnp.ndarray,
         # XLA lowers this computed-index gather to a ~8.7 ns/element scalar
         # loop on TPU; the Pallas one-hot-matmul kernel is ~40x faster
         from .motion_pallas import trilinear_bone_weights
-        weights = trilinear_bone_weights(weights_vol, f[0], f[1], f[2])
+        weights = trilinear_bone_weights(weights_vol, f[0], f[1], f[2],
+                                         compute_dtype=compute_dtype)
     else:
         weights = _flat_trilinear(weights_vol, f[0], f[1], f[2])  # (B, N)
     # saved (not recomputed) under the training remat policy: re-running

@@ -294,3 +294,60 @@ def test_inert_non_rigid_fast_path_exact(setup):
     for a, b in zip(jax.tree.leaves(g_a), jax.tree.leaves(g_b)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-6)
+
+
+def test_bf16_rank_and_eval_dtypes_close(setup, rng):
+    """cfg.tpu.rank_compute_dtype / eval_compute_dtype = bfloat16 narrow
+    only the no-grad Pallas matmuls (the compaction ranking pass in
+    two-pass training; the whole motion+encode path at eval) — outputs
+    stay within bf16 rounding of the exact f32 network and training
+    gradients remain finite.  On CPU the motion kernel takes the XLA
+    path (dtype ignored), so this asserts the *plumbing*; the kernel
+    rounding itself is covered in test_pallas_ops."""
+    _, _, state, _, batch = setup
+    from occnerf_tpu.smpl.model import SMPL, save_model, \
+        synthetic_smpl_model
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    save_model(synthetic_smpl_model(n_verts=128, seed=2), os.path.join(
+        d, "basicModel_neutral_lbs_10_207_0_v1.0.0.pkl"))
+    smpl = SMPL(model_dir=d)
+    verts, joints = smpl(np.zeros(72), np.zeros(10))
+
+    def make(rank_dt, eval_dt):
+        cfg = NetworkConfig(
+            n_samples=64, chunk=32, knn_backend="exact",
+            sample_compaction=0.5,
+            rank_compute_dtype=rank_dt, eval_compute_dtype=eval_dt,
+            cnl_mlp_depth=2, cnl_mlp_width=32,
+            cnl_num_levels=4, cnl_log2_hashmap_size=10,
+            cnl_base_resolution=4,
+            mweight_embedding_size=32, mweight_volume_size=8,
+            nr_mlp_width=16, nr_mlp_depth=3, nr_skips=(2,),
+            nr_kick_in_iter=10, nr_full_band_iter=100,
+            pose_mlp_width=32, pose_mlp_depth=2, pose_kick_in_iter=50)
+        return Network(cfg)
+
+    net_f32 = make("float32", "float32")
+    net_bf16 = make("bfloat16", "bfloat16")
+    statics = net_f32.generate_neural_points(verts, joints, smpl.faces)
+    net_bf16.generate_neural_points(verts, joints, smpl.faces)
+    params, state = net_f32.init(jax.random.PRNGKey(0), statics)
+
+    out_f, _ = net_f32.forward(params, statics, state, batch, 1e7,
+                               training=False)
+    out_b, _ = net_bf16.forward(params, statics, state, batch, 1e7,
+                                training=False)
+    np.testing.assert_allclose(np.asarray(out_f["rgb"]),
+                               np.asarray(out_b["rgb"]), atol=3e-2)
+
+    def loss(net):
+        def f(p):
+            out, _ = net.forward(p, statics, state, batch, 100.0,
+                                 training=True, perturb=0.0)
+            return jnp.mean(out["rgb"]) + jnp.mean(out["comp_loss"])
+        return f
+
+    g_b = jax.grad(loss(net_bf16))(params)
+    for leaf in jax.tree.leaves(g_b):
+        assert np.isfinite(np.asarray(leaf)).all()

@@ -109,3 +109,55 @@ def test_motion_pallas_integer_coord_grads():
         g_ref = jax.grad(loss_ref)(f, which)
         np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
                                    atol=1e-4, err_msg=f"coord {which}")
+
+
+def test_motion_pallas_bf16_compute_dtype_close():
+    """Per-call bfloat16 matmul inputs (the no-grad ranking/eval dtype,
+    cfg.tpu.{rank,eval}_compute_dtype) stay within bf16 rounding of the
+    exact f32 kernel."""
+    from occnerf_tpu.ops.motion_pallas import trilinear_bone_weights
+    from occnerf_tpu.ops.trilinear import _flat_trilinear
+
+    B, D, N = 3, 32, 640
+    rng = np.random.default_rng(1)
+    vols = jnp.asarray(rng.uniform(size=(B, D, D, D)).astype(np.float32))
+    fx = jnp.asarray(rng.uniform(-2, 33, (B, N)).astype(np.float32))
+    fy = jnp.asarray(rng.uniform(-2, 33, (B, N)).astype(np.float32))
+    fz = jnp.asarray(rng.uniform(-2, 33, (B, N)).astype(np.float32))
+
+    w = trilinear_bone_weights(vols, fx, fy, fz,
+                               compute_dtype=jnp.bfloat16)
+    w_ref = _flat_trilinear(vols, fx, fy, fz)
+    # tent weights and table entries round to 8 mantissa bits; the
+    # 1024-term contraction accumulates in f32 (few nonzero terms)
+    np.testing.assert_allclose(np.asarray(w), np.asarray(w_ref),
+                               atol=3e-2)
+    assert w.dtype == jnp.float32
+    # default call stays exact (unchanged by the bf16 plumbing)
+    w32 = trilinear_bone_weights(vols, fx, fy, fz)
+    np.testing.assert_allclose(np.asarray(w32), np.asarray(w_ref),
+                               atol=1e-5)
+
+
+def test_hashgrid_pallas_bf16_compute_dtype_close():
+    """Per-call bfloat16 on the hash-encode one-hot matmuls (~0.4%
+    feature rounding, the eval/render dtype)."""
+    from occnerf_tpu.ops.hashgrid import HashGridSpec, hash_grid_encode
+    from occnerf_tpu.ops.hashgrid_pallas import hash_grid_encode_tpu
+
+    spec = HashGridSpec.create(input_dim=4, num_levels=4, level_dim=2,
+                               base_resolution=16, log2_hashmap_size=13,
+                               desired_resolution=512)
+    key = jax.random.PRNGKey(3)
+    table = spec.init_table(key)
+    x = jax.random.uniform(key, (640, 4), minval=-0.05, maxval=1.05)
+
+    out = hash_grid_encode_tpu(x, table, spec,
+                               compute_dtype=jnp.bfloat16)
+    ref = hash_grid_encode(x, table, spec)
+    # init table entries are U(-1e-4, 1e-4): absolute rounding ~1e-6
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-6)
+    out32 = hash_grid_encode_tpu(x, table, spec)
+    np.testing.assert_allclose(np.asarray(out32), np.asarray(ref),
+                               atol=1e-5)
