@@ -179,12 +179,21 @@ def test_sample_compaction_exact(setup):
         return Network(cfg)
 
     net_full, net_cmp = make(1.0), make(0.5)
-    # rebuild statics/params on each net (cnl_mlp is built per instance)
-    verts = np.asarray(statics_small["point_base"])
-    joints = verts[:24]
-    faces = np.zeros((4, 3), np.int32)
-    statics = net_full.generate_neural_points(verts, joints, faces)
-    net_cmp.generate_neural_points(verts, joints, faces)
+    # rebuild statics/params on each net (cnl_mlp is built per instance).
+    # Use a REAL synthetic mesh: all-zero faces give all-zero vertex
+    # normals, whose 0/0 surface aggregation NaNs every gradient — and
+    # assert_allclose treats NaN == NaN as equal, silently voiding the
+    # gradient comparison below.
+    from occnerf_tpu.smpl.model import SMPL, save_model, \
+        synthetic_smpl_model as _ssm
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    save_model(_ssm(n_verts=128, seed=2), os.path.join(
+        d, "basicModel_neutral_lbs_10_207_0_v1.0.0.pkl"))
+    smpl = SMPL(model_dir=d)
+    verts, joints = smpl(np.zeros(72), np.zeros(10))
+    statics = net_full.generate_neural_points(verts, joints, smpl.faces)
+    net_cmp.generate_neural_points(verts, joints, smpl.faces)
     params, state = net_full.init(jax.random.PRNGKey(0), statics)
 
     # push rays so over half the samples fall outside the volume
@@ -219,6 +228,9 @@ def test_sample_compaction_exact(setup):
     g_f = jax.grad(loss(net_full))(params)
     g_c = jax.grad(loss(net_cmp))(params)
     for a, bb in zip(jax.tree.leaves(g_f), jax.tree.leaves(g_c)):
+        # assert_allclose treats NaN == NaN as equal — require finiteness
+        # so the comparison can't be vacuously true
+        assert np.isfinite(np.asarray(a)).all()
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
                                    atol=2e-4)
 
