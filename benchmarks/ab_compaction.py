@@ -25,7 +25,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def run_arm(subject_path: str, compaction: float, iters: int,
-            seed: int, log2_hashmap: int = 14) -> dict:
+            seed: int, log2_hashmap: int = 14,
+            rank_dtype: str = "float32",
+            eval_dtype: str = "float32") -> dict:
     import numpy as np
 
     from occnerf_tpu.config import cfg, get_default_cfg, set_cfg
@@ -40,6 +42,8 @@ def run_arm(subject_path: str, compaction: float, iters: int,
     c.pose_decoder.kick_in_iter = 2_000_000
     c.non_rigid_motion_mlp.kick_in_iter = 100_000
     c.tpu.sample_compaction = compaction
+    c.tpu.rank_compute_dtype = rank_dtype
+    c.tpu.eval_compute_dtype = eval_dtype
     c.tpu.train_chunk = 512
     c.train.maxiter = iters
     c.train.log_interval = 100
@@ -75,6 +79,7 @@ def run_arm(subject_path: str, compaction: float, iters: int,
     means = eval_entry.eval_model(render_folder_name=f"ab_{compaction}")
     means.update({"compaction": compaction, "iters": iters, "seed": seed,
                   "log2_hashmap": log2_hashmap,
+                  "rank_dtype": rank_dtype, "eval_dtype": eval_dtype,
                   "wall_sec": round(wall, 1),
                   "sec_per_iter": round(wall / max(iters, 1), 3)})
     return means
@@ -90,6 +95,12 @@ def main() -> None:
                     help="comma list of log2_hashmap_size arms (e.g. "
                          "'14,19' to A/B the reference-exact 2^19 "
                          "geometry against the MXU-capped 2^14)")
+    ap.add_argument("--rank-dtype", default="float32",
+                    choices=("float32", "bfloat16"),
+                    help="tpu.rank_compute_dtype for every arm")
+    ap.add_argument("--eval-dtype", default="float32",
+                    choices=("float32", "bfloat16"),
+                    help="tpu.eval_compute_dtype for every arm")
     ap.add_argument("--img-size", type=int, default=512)
     ap.add_argument("--frames", type=int, default=8)
     args = ap.parse_args()
@@ -103,7 +114,9 @@ def main() -> None:
     for log2 in [int(a) for a in args.log2.split(",")]:
         for arm in [float(a) for a in args.arms.split(",")]:
             res = run_arm(subject_path, arm, args.iters, args.seed,
-                          log2_hashmap=log2)
+                          log2_hashmap=log2,
+                          rank_dtype=args.rank_dtype,
+                          eval_dtype=args.eval_dtype)
             print("AB_RESULT " + json.dumps(res), flush=True)
 
 

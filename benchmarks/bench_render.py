@@ -37,6 +37,10 @@ def main() -> None:
     ap.add_argument("--eval-chunk", type=int, default=2048,
                     help="rays per render chunk (tpu.eval_chunk)")
     ap.add_argument("--compaction", type=float, default=0.375)
+    ap.add_argument("--eval-dtype", default="float32",
+                    choices=("float32", "bfloat16"),
+                    help="matmul input dtype of the no-grad eval path "
+                         "(tpu.eval_compute_dtype)")
     args = ap.parse_args()
 
     c = get_default_cfg()
@@ -47,6 +51,7 @@ def main() -> None:
     # recommended TPU configuration (see bench.py / docs/ROADMAP.md)
     c.tpu.sample_compaction = args.compaction
     c.tpu.eval_chunk = args.eval_chunk
+    c.tpu.eval_compute_dtype = args.eval_dtype
     c.logdir = os.path.join(tmp, "logs")
     set_cfg(c)
 
@@ -81,7 +86,8 @@ def main() -> None:
     print(f"render {n_rays} rays x {c.N_samples} samples: "
           f"{dt * 1000:.0f} ms -> {n_rays / dt:.0f} rays/s/chip "
           f"(512x512 tpose camera, occnerf MLP, eval_chunk "
-          f"{args.eval_chunk}, compaction {args.compaction})")
+          f"{args.eval_chunk}, compaction {args.compaction}, "
+          f"eval_dtype {args.eval_dtype})")
 
 
 if __name__ == "__main__":

@@ -29,6 +29,8 @@ def main() -> None:
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--eval-chunk", type=int, default=2048)
     ap.add_argument("--compaction", type=float, default=0.375)
+    ap.add_argument("--eval-dtype", default="float32",
+                    choices=("float32", "bfloat16"))
     args = ap.parse_args()
 
     import jax
@@ -48,6 +50,7 @@ def main() -> None:
     c.canonical_mlp.log2_hashmap_size = 14
     c.tpu.sample_compaction = args.compaction
     c.tpu.eval_chunk = args.eval_chunk
+    c.tpu.eval_compute_dtype = args.eval_dtype
     c.logdir = os.path.join(tmp, "logs")
     set_cfg(c)
 
