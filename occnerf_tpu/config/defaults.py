@@ -190,6 +190,13 @@ def get_default_cfg() -> CfgNode:
         # one-hot, tables <= 2^15) | 'sorted' (scatter-free sorted
         # backward, any size) | 'xla' (AD oracle path)
         hashgrid_backend="auto",
+        # rank compaction candidates with a max-pooled+dilated HALF-RES
+        # proxy volume (a provable upper bound of the exact trilinear
+        # foreground likelihood: positive-mass samples can never be
+        # hidden from the ranking) instead of the full-resolution motion
+        # pass — ~4x cheaper ranking; the kept rows then get the exact
+        # full-res motion pass (train: differentiable; eval: no-grad)
+        motion_rank_proxy=False,
         # matmul input dtype for the STOP-GRADIENT ranking pass of
         # two-pass compacted training (models/network.py): bfloat16
         # halves its MXU time; only the compaction ranking, the

@@ -33,7 +33,8 @@ import jax.numpy as jnp
 from ..config import cfg as global_cfg
 from ..ops.knn import knn, multiscale_knn_concat
 from ..ops.raymarch import raw2outputs, sample_zvals, stratify_zvals
-from ..ops.trilinear import sample_motion_fields
+from ..ops.trilinear import (pool_dilate_volume, sample_motion_fields,
+                             sample_motion_proxy)
 from ..utils.mesh import multiscale_fps_indices, vertex_normals
 from .canonical import OccNeRFCanonicalMLP, VanillaCanonicalMLP, \
     _cosine_similarity, _safe_norm
@@ -75,6 +76,10 @@ class NetworkConfig:
     # ~halves the two Pallas kernels' MXU time (cfg.tpu.* knobs)
     rank_compute_dtype: str = "float32"
     eval_compute_dtype: str = "float32"
+    # rank compaction candidates with the pooled half-res upper-bound
+    # proxy volume instead of the full-res motion pass (~4x cheaper
+    # ranking; kept rows still get the exact full-res pass)
+    motion_rank_proxy: bool = False
 
     canonical_module: str = "core.nets.occnerf.canonical_mlps.occnerf_mlp"
     cnl_mlp_depth: int = 4
@@ -127,6 +132,8 @@ class NetworkConfig:
                 "rank_compute_dtype", "float32"),
             eval_compute_dtype=c.get("tpu", {}).get(
                 "eval_compute_dtype", "float32"),
+            motion_rank_proxy=bool(c.get("tpu", {}).get(
+                "motion_rank_proxy", False)),
             canonical_module=c.canonical_mlp.module,
             cnl_mlp_depth=c.canonical_mlp.mlp_depth,
             cnl_mlp_width=c.canonical_mlp.mlp_width,
@@ -401,7 +408,7 @@ class Network:
                       motion_scale_Rs, motion_Ts, motion_weights_vol,
                       cnl_bbox_min_xyz, cnl_bbox_scale_xyz,
                       *, training, ignore_non_rigid, perturb, rng,
-                      vertex_quant, vert_feat):
+                      vertex_quant, vert_feat, proxy_vol=None):
         c = self.cfg
         n = rays_o.shape[0]
         z_vals = sample_zvals(near, far, c.n_samples)
@@ -425,26 +432,44 @@ class Network:
         # Exactness vs the single-pass full backward is asserted by
         # tests/test_network.py::test_sample_compaction_exact.
         two_pass = training and compact
+        # proxy ranking (cfg.tpu.motion_rank_proxy): skip the full-N
+        # motion pass entirely — rank with the pooled half-res UPPER
+        # BOUND volume (~4x cheaper) and run the exact full-res pass on
+        # the kept rows only (train: differentiable; eval: no-grad).
+        # Conservative: proxy >= exact likelihood for every sample, so a
+        # positive-mass sample is never hidden from the ranking.
+        use_proxy = compact and c.motion_rank_proxy and proxy_vol is not None
         sg = jax.lax.stop_gradient
         # per-call matmul dtype: the stop-gradded ranking pass and the
         # no-grad eval path may run bfloat16 (cfg.tpu.{rank,eval}_
         # compute_dtype); the differentiable train pass never does
         eval_dt = (jnp.bfloat16 if not training
                    and c.eval_compute_dtype == "bfloat16" else None)
-        rank_dt = (jnp.bfloat16 if two_pass
+        rank_dt = (jnp.bfloat16 if (training and compact)
                    and c.rank_compute_dtype == "bfloat16" else eval_dt)
-        x_skel, fg_mask_raw = sample_motion_fields(
-            pts, sg(motion_scale_Rs) if two_pass else motion_scale_Rs,
-            sg(motion_Ts) if two_pass else motion_Ts,
-            sg(motion_weights_vol) if two_pass else motion_weights_vol,
-            cnl_bbox_min_xyz, cnl_bbox_scale_xyz,
-            compute_dtype=rank_dt if two_pass else
-            (eval_dt if not training else None))
-        # padded rays (near = far = 0, ray_valid = 0) must composite to
-        # exactly bgcolor: zero their foreground likelihood
-        fg_mask = fg_mask_raw * ray_valid[:, None, None]
-
-        flat = x_skel.reshape(-1, 3)
+        x_skel = fg_mask_raw = flat = None
+        if use_proxy:
+            ub = sample_motion_proxy(
+                pts, sg(motion_scale_Rs), sg(motion_Ts), sg(proxy_vol),
+                cnl_bbox_min_xyz, cnl_bbox_scale_xyz,
+                fine_size=motion_weights_vol.shape[1],
+                compute_dtype=rank_dt)
+            # padded rays must never crowd real samples out of the kept
+            # set (and must composite to exactly bgcolor)
+            fg_rank = ub * ray_valid[:, None, None]
+        else:
+            x_skel, fg_mask_raw = sample_motion_fields(
+                pts, sg(motion_scale_Rs) if two_pass else motion_scale_Rs,
+                sg(motion_Ts) if two_pass else motion_Ts,
+                sg(motion_weights_vol) if two_pass else motion_weights_vol,
+                cnl_bbox_min_xyz, cnl_bbox_scale_xyz,
+                compute_dtype=rank_dt if two_pass else
+                (eval_dt if not training else None))
+            # padded rays (near = far = 0, ray_valid = 0) must composite
+            # to exactly bgcolor: zero their foreground likelihood
+            fg_mask = fg_mask_raw * ray_valid[:, None, None]
+            fg_rank = fg_mask
+            flat = x_skel.reshape(-1, 3)
         raw0 = None
         if compact:
             # occupancy-guided compaction: rank samples by foreground
@@ -456,25 +481,27 @@ class Network:
             # would leak softplus(0) = ln2 density scaled by the sample's
             # small mask), and the completeness loss is corrected exactly
             # below.
-            mflat = jax.lax.stop_gradient(fg_mask.reshape(-1))
+            mflat = jax.lax.stop_gradient(fg_rank.reshape(-1))
             iota = jnp.arange(ns_all, dtype=jnp.int32)
             _, perm = jax.lax.sort_key_val(-mflat, iota)
             _, iperm = jax.lax.sort_key_val(perm, iota)
             kept_rows = perm[:K]
-            if two_pass:
-                # differentiable motion pass on the kept rows only;
-                # per-row compute makes the values bit-identical to the
-                # full-N pass, now with gradients attached
+            rv = jnp.broadcast_to(
+                ray_valid[:, None], (n, c.n_samples)).reshape(-1)
+            m_kept = None
+            if two_pass or use_proxy:
+                # exact motion pass on the kept rows only (two-pass
+                # training: differentiable, bit-identical values to the
+                # full-N pass; proxy eval: the only full-res pass at all)
                 pts_kept = pts.reshape(-1, 3)[kept_rows]
                 flat_kept, m_kept = sample_motion_fields(
                     pts_kept, motion_scale_Rs, motion_Ts,
                     motion_weights_vol, cnl_bbox_min_xyz,
-                    cnl_bbox_scale_xyz)                 # (K, 3), (K, 1)
-                # rebuild the compositing mask from the differentiable
-                # kept-row values; dropped rows are exactly 0 (no phantom
-                # density, no gradient)
-                rv = jnp.broadcast_to(
-                    ray_valid[:, None], (n, c.n_samples)).reshape(-1)
+                    cnl_bbox_scale_xyz,
+                    compute_dtype=None if training else eval_dt)
+                # rebuild the compositing mask from the kept-row values;
+                # dropped rows are exactly 0 (no phantom density, no
+                # gradient)
                 m_sorted = jnp.concatenate(
                     [m_kept[:, 0] * rv[kept_rows],
                      jnp.zeros((ns_all - K,), m_kept.dtype)])
@@ -484,7 +511,7 @@ class Network:
             else:
                 flat_kept = flat[kept_rows]
             xyz_q = jnp.concatenate(
-                [flat_kept, jnp.zeros((1, 3), flat.dtype)], axis=0)
+                [flat_kept, jnp.zeros((1, 3), flat_kept.dtype)], axis=0)
             raws_q, _ = self._query_canonical(
                 params, statics, state, xyz_q, iter_val, non_rigid_input,
                 ignore_non_rigid, vertex_quant, vert_feat,
@@ -495,10 +522,11 @@ class Network:
                  jnp.zeros((ns_all - K, raws_q.shape[-1]), raws_q.dtype)],
                 axis=0)
             raws = _permute_rows(raws_sorted, iperm, perm)
-            if not two_pass:
+            if not (two_pass or use_proxy):
                 # zero the compositing mask of dropped rows so they carry
                 # no phantom density (sorted rank >= K == dropped); the
-                # two-pass branch already rebuilt fg_mask with exact zeros
+                # kept-pass branches already rebuilt fg_mask with exact
+                # zeros
                 kept = jax.lax.stop_gradient(
                     (iperm < K).astype(fg_mask.dtype)).reshape(
                         n, c.n_samples, 1)
@@ -539,17 +567,40 @@ class Network:
                     (d0 < 0.0).astype(jnp.float32))
                 c0 = in0 * jnp.exp(
                     jnp.clip(-jax.nn.relu(a0), -10.0, 0.0)) * 10.0
-                n_zero_valid = jnp.sum(
-                    ray_valid[:, None]
-                    * (fg_mask_raw[..., 0] <= 0.0).astype(jnp.float32))
+                if use_proxy:
+                    # no full-N mask exists; valid zero-mass count =
+                    # all valid rows minus the kept positive ones
+                    # (dropped valid rows are zero-mass whenever no
+                    # positive sample was dropped — the same exactness
+                    # condition as the ranking itself)
+                    n_pos_kept = jnp.sum(
+                        (m_kept[:, 0] > 0.0).astype(jnp.float32)
+                        * rv[kept_rows])
+                    n_zero_valid = jnp.sum(ray_valid) * c.n_samples \
+                        - n_pos_kept
+                else:
+                    n_zero_valid = jnp.sum(
+                        ray_valid[:, None]
+                        * (fg_mask_raw[..., 0] <= 0.0).astype(jnp.float32))
                 comp = comp.at[0].add(c0 * n_zero_valid)
             result["comp_loss"] = comp
 
             # visibility counter update (network.py:501-517): canonical
             # points at ray termination, 10-NN into the learnable cloud
             depth_mask = jax.lax.stop_gradient(out.depth) > 0.5
-            term_pts = jnp.take_along_axis(
-                x_skel, out.term_idx[:, None, None], axis=1)[:, 0]
+            if use_proxy:
+                # no full-N x_skel under proxy ranking: the termination
+                # row always has alpha > 0 whenever depth > 0.5, and
+                # positive-alpha rows are kept — fetch its canonical
+                # point from the kept-pass values (rank < K there; the
+                # clip only fires on depth-masked all-zero rays)
+                flat_idx = (jnp.arange(n, dtype=jnp.int32) * c.n_samples
+                            + out.term_idx.astype(jnp.int32))
+                rank = jnp.clip(iperm[flat_idx], 0, K - 1)
+                term_pts = flat_kept[rank]
+            else:
+                term_pts = jnp.take_along_axis(
+                    x_skel, out.term_idx[:, None, None], axis=1)[:, 0]
             _, vidx = knn(jax.lax.stop_gradient(term_pts),
                           jax.lax.stop_gradient(vertex_quant[0]),
                           c.knn_k, backend=c.knn_backend)       # (n, k)
@@ -594,6 +645,13 @@ class Network:
         motion_weights_vol = self.mweight_decoder.apply(
             params["mweight_vol_decoder"],
             batch["motion_weights_priors"][None])[0]
+        proxy_vol = None
+        if (self.is_occnerf_mlp and self.cfg.motion_rank_proxy
+                and self.cfg.sample_compaction < 1.0):
+            # half-res upper-bound volume for the compaction ranking,
+            # built once per step (ranking is stop-gradient by design)
+            proxy_vol = pool_dilate_volume(jax.lax.stop_gradient(
+                motion_weights_vol[:self.cfg.total_bones]))
 
         vertex_quant = (self._vertex_quantities(params, statics)
                         if self.is_occnerf_mlp else None)
@@ -634,7 +692,7 @@ class Network:
             cnl_bbox_scale_xyz=batch["cnl_bbox_scale_xyz"],
             training=training, ignore_non_rigid=ignore_non_rigid,
             perturb=perturb, vertex_quant=vertex_quant,
-            vert_feat=vert_feat)
+            vert_feat=vert_feat, proxy_vol=proxy_vol)
 
         if N <= chunk:
             out = self._render_chunk(params, statics, state, rays_o, rays_d,

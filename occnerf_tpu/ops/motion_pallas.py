@@ -42,7 +42,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-D = 32                 # volume side (32^3); table rows = 32*32 = 1024
+D = 32                 # default volume side (32^3); table rows = 1024.
+                       # kernels are generalized over the side (the
+                       # compaction-ranking proxy uses pooled 16^3
+                       # volumes) — `side` is threaded through explicitly
 ROWS = D * D           # 1024
 LANES = 128
 Q_BLK = 512            # queries per grid step
@@ -71,10 +74,11 @@ def _col(ref, b, width):
                    keepdims=True)
 
 
-def _zy_lanes(q):
-    """Loop-invariant (z, y) lane coordinate planes for (Q, 1024)."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, (q, ROWS), 1)
-    return (lane // D).astype(jnp.float32), (lane % D).astype(jnp.float32)
+def _zy_lanes(q, side=D):
+    """Loop-invariant (z, y) lane coordinate planes for (Q, side^2)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (q, side * side), 1)
+    return ((lane // side).astype(jnp.float32),
+            (lane % side).astype(jnp.float32))
 
 
 def _tent(coord, lane_f):
@@ -99,7 +103,7 @@ def _xlane(q):
 
 
 # ---------------------------------------------------------------------------
-def _fwd_kernel(cdt, fx_ref, fy_ref, fz_ref, tbl_ref, out_ref):
+def _fwd_kernel(cdt, side, fx_ref, fy_ref, fz_ref, tbl_ref, out_ref):
     b = pl.program_id(1)
     nb = out_ref.shape[1]
     fx = _col(fx_ref, b, nb)
@@ -107,7 +111,7 @@ def _fwd_kernel(cdt, fx_ref, fy_ref, fz_ref, tbl_ref, out_ref):
     fz = _col(fz_ref, b, nb)
 
     q = fx.shape[0]
-    zl, yl = _zy_lanes(q)
+    zl, yl = _zy_lanes(q, side)
     F = _tent(fz, zl) * _tent(fy, yl)                # (Q, 1024)
     A = jnp.dot(F.astype(cdt), tbl_ref[0].astype(cdt),
                 preferred_element_type=jnp.float32)
@@ -122,7 +126,7 @@ def _fwd_kernel(cdt, fx_ref, fy_ref, fz_ref, tbl_ref, out_ref):
     out_ref[:] += jnp.where(lane == b, val, 0.0)
 
 
-def _bwd_tbl_kernel(cdt, fx_ref, fy_ref, fz_ref, g_ref, dtbl_ref):
+def _bwd_tbl_kernel(cdt, side, fx_ref, fy_ref, fz_ref, g_ref, dtbl_ref):
     """dT accumulation: grid (B, nblk), nblk inner; dT revisited across
     the consecutive query blocks of each bone."""
     b = pl.program_id(0)
@@ -138,7 +142,7 @@ def _bwd_tbl_kernel(cdt, fx_ref, fy_ref, fz_ref, g_ref, dtbl_ref):
         dtbl_ref[0] = jnp.zeros_like(dtbl_ref[0])
 
     q = fx.shape[0]
-    zl, yl = _zy_lanes(q)
+    zl, yl = _zy_lanes(q, side)
     F = _tent(fz, zl) * _tent(fy, yl)
     W = _tent(fx, _xlane(q))
     dA = g * W                                       # (Q, 128)
@@ -146,7 +150,7 @@ def _bwd_tbl_kernel(cdt, fx_ref, fy_ref, fz_ref, g_ref, dtbl_ref):
                            preferred_element_type=jnp.float32)
 
 
-def _bwd_f_kernel(cdt, fx_ref, fy_ref, fz_ref, g_ref, tbl_ref,
+def _bwd_f_kernel(cdt, side, fx_ref, fy_ref, fz_ref, g_ref, tbl_ref,
                   dfx_ref, dfy_ref, dfz_ref):
     """Coordinate gradients; grid (nblk, B), bones inner, df blocks
     accumulated across bones into their lane columns."""
@@ -159,7 +163,7 @@ def _bwd_f_kernel(cdt, fx_ref, fy_ref, fz_ref, g_ref, tbl_ref,
     tbl = tbl_ref[0].astype(cdt)                     # (1024, 128)
 
     q = fx.shape[0]
-    zl, yl = _zy_lanes(q)
+    zl, yl = _zy_lanes(q, side)
     Zt = _tent(fz, zl)
     Yt = _tent(fy, yl)
     xl = _xlane(q)
@@ -194,10 +198,10 @@ def _bwd_f_kernel(cdt, fx_ref, fy_ref, fz_ref, g_ref, tbl_ref,
 
 # ---------------------------------------------------------------------------
 def _prep(vols, fx, fy, fz):
-    """vols (B,32,32,32) -> (B,1024,128) lane-padded; f (B,N) -> (N,B)."""
-    B = vols.shape[0]
-    tbl = jnp.pad(vols.reshape(B, ROWS, D),
-                  ((0, 0), (0, 0), (0, LANES - D)))
+    """vols (B,s,s,s) -> (B,s*s,128) lane-padded; f (B,N) -> (N,B)."""
+    B, side = vols.shape[0], vols.shape[1]
+    tbl = jnp.pad(vols.reshape(B, side * side, side),
+                  ((0, 0), (0, 0), (0, LANES - side)))
     return tbl, fx.T, fy.T, fz.T
 
 
@@ -240,6 +244,8 @@ def _tbw(dtk, vols, fx, fy, fz):
 def _fwd(dtk, vols, fx, fy, fz):
     cdt = _DTYPES[dtk]
     B, N = fx.shape
+    side = vols.shape[1]
+    rows = side * side
     tbl, fxT, fyT, fzT = _prep(vols, fx, fy, fz)
     fxT, n = _pad_n(fxT, Q_BLK)
     fyT, _ = _pad_n(fyT, Q_BLK)
@@ -250,10 +256,10 @@ def _fwd(dtk, vols, fx, fy, fz):
     qspec = pl.BlockSpec((Q_BLK, B), lambda i, b: (i, 0),
                          memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, cdt),
+        functools.partial(_fwd_kernel, cdt, side),
         grid=(nblk, B),
         in_specs=[qspec, qspec, qspec,
-                  pl.BlockSpec((1, ROWS, LANES), lambda i, b: (b, 0, 0),
+                  pl.BlockSpec((1, rows, LANES), lambda i, b: (b, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((Q_BLK, B), lambda i, b: (i, 0),
                                memory_space=pltpu.VMEM),
@@ -268,6 +274,8 @@ def _bwd(dtk, res, g):
     cdt = _DTYPES[dtk]
     vols, fx, fy, fz = res
     B, N = fx.shape
+    side = vols.shape[1]
+    rows = side * side
     tbl, fxT, fyT, fzT = _prep(vols, fx, fy, fz)
     fxT, n = _pad_n(fxT, Q_BLK)
     fyT, _ = _pad_n(fyT, Q_BLK)
@@ -280,24 +288,24 @@ def _bwd(dtk, res, g):
     qspec_bi = pl.BlockSpec((Q_BLK, B), lambda b, i: (i, 0),
                             memory_space=pltpu.VMEM)
     dtbl = pl.pallas_call(
-        functools.partial(_bwd_tbl_kernel, cdt),
+        functools.partial(_bwd_tbl_kernel, cdt, side),
         grid=(B, nblk),
         in_specs=[qspec_bi, qspec_bi, qspec_bi, qspec_bi],
-        out_specs=pl.BlockSpec((1, ROWS, LANES), lambda b, i: (b, 0, 0),
+        out_specs=pl.BlockSpec((1, rows, LANES), lambda b, i: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, ROWS, LANES), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, rows, LANES), jnp.float32),
         interpret=_interpret(),
     )(fxT, fyT, fzT, gT)
-    dvols = dtbl[:, :, :D].reshape(B, D, D, D)
+    dvols = dtbl[:, :, :side].reshape(B, side, side, side)
 
     # df: grid (nblk, B) — per-block outputs accumulated over bones
     qspec_ib = pl.BlockSpec((Q_BLK, B), lambda i, b: (i, 0),
                             memory_space=pltpu.VMEM)
     dfx, dfy, dfz = pl.pallas_call(
-        functools.partial(_bwd_f_kernel, cdt),
+        functools.partial(_bwd_f_kernel, cdt, side),
         grid=(nblk, B),
         in_specs=[qspec_ib, qspec_ib, qspec_ib, qspec_ib,
-                  pl.BlockSpec((1, ROWS, LANES), lambda i, b: (b, 0, 0),
+                  pl.BlockSpec((1, rows, LANES), lambda i, b: (b, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=(qspec_ib, qspec_ib, qspec_ib),
         out_shape=tuple(

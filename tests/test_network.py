@@ -363,3 +363,82 @@ def test_bf16_rank_and_eval_dtypes_close(setup, rng):
     g_b = jax.grad(loss(net_bf16))(params)
     for leaf in jax.tree.leaves(g_b):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_motion_rank_proxy_exact(setup):
+    """Proxy-ranked compaction (tpu.motion_rank_proxy: rank by the
+    pooled half-res upper bound, exact full-res motion only on kept
+    rows) reproduces the full forward exactly whenever K covers every
+    proxy-positive sample — outputs, comp_loss, counter AND gradients."""
+    _, _, state0, _, batch = setup
+    from occnerf_tpu.smpl.model import SMPL, save_model, \
+        synthetic_smpl_model as _ssm
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    save_model(_ssm(n_verts=128, seed=2), os.path.join(
+        d, "basicModel_neutral_lbs_10_207_0_v1.0.0.pkl"))
+    smpl = SMPL(model_dir=d)
+    verts, joints = smpl(np.zeros(72), np.zeros(10))
+
+    def make(frac, proxy):
+        cfg = NetworkConfig(
+            n_samples=64, chunk=32, knn_backend="exact",
+            sample_compaction=frac, motion_rank_proxy=proxy,
+            cnl_mlp_depth=2, cnl_mlp_width=32,
+            cnl_num_levels=4, cnl_log2_hashmap_size=10,
+            cnl_base_resolution=4,
+            mweight_embedding_size=32, mweight_volume_size=8,
+            nr_mlp_width=16, nr_mlp_depth=3, nr_skips=(2,),
+            nr_kick_in_iter=10, nr_full_band_iter=100,
+            pose_mlp_width=32, pose_mlp_depth=2, pose_kick_in_iter=50)
+        return Network(cfg)
+
+    net_full, net_prx = make(1.0, False), make(0.5, True)
+    statics = net_full.generate_neural_points(verts, joints, smpl.faces)
+    net_prx.generate_neural_points(verts, joints, smpl.faces)
+    params, state = net_full.init(jax.random.PRNGKey(0), statics)
+
+    # push rays so over half the samples fall outside the volume (the
+    # proxy keeps MORE candidates than exact ranking, so the K-covers-
+    # positives condition needs even more empty space)
+    b = dict(batch)
+    b["far"] = jnp.full_like(batch["far"], 10.0)
+
+    out_f, st_f = net_full.forward(params, statics, state, b, 100.0,
+                                   training=True, perturb=0.0)
+    out_p, st_p = net_prx.forward(params, statics, state, b, 100.0,
+                                  training=True, perturb=0.0)
+    np.testing.assert_allclose(np.asarray(out_f["rgb"]),
+                               np.asarray(out_p["rgb"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_f["depth"]),
+                               np.asarray(out_p["depth"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_f["alpha"]),
+                               np.asarray(out_p["alpha"]), atol=1e-5)
+    np.testing.assert_allclose(
+        float(jnp.sum(out_f["comp_loss"])),
+        float(jnp.sum(out_p["comp_loss"])), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(st_f["point_counter"]),
+                               np.asarray(st_p["point_counter"]),
+                               atol=1e-6)
+
+    # eval path (single proxy pass + exact kept pass, no grads)
+    ev_f, _ = net_full.forward(params, statics, state, b, 1e7,
+                               training=False)
+    ev_p, _ = net_prx.forward(params, statics, state, b, 1e7,
+                              training=False)
+    np.testing.assert_allclose(np.asarray(ev_f["rgb"]),
+                               np.asarray(ev_p["rgb"]), atol=1e-5)
+
+    def loss(net):
+        def f(p):
+            out, _ = net.forward(p, statics, state, b, 100.0,
+                                 training=True, perturb=0.0)
+            return jnp.mean(out["rgb"]) + jnp.mean(out["comp_loss"])
+        return f
+
+    g_f = jax.grad(loss(net_full))(params)
+    g_p = jax.grad(loss(net_prx))(params)
+    for a, bb in zip(jax.tree.leaves(g_f), jax.tree.leaves(g_p)):
+        assert np.isfinite(np.asarray(a)).all()
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   atol=2e-4)

@@ -519,3 +519,45 @@ def test_hashgrid_sorted_backward_matches_ad(rng):
     np.testing.assert_allclose(np.asarray(g_ad), np.asarray(g_sorted),
                                atol=1e-5)
     np.testing.assert_array_equal(np.asarray(g_x), 0.0)
+
+
+def test_motion_proxy_upper_bounds_exact():
+    """The pooled+dilated half-res proxy (tpu.motion_rank_proxy ranking)
+    upper-bounds the exact trilinear foreground likelihood for every
+    sample — in-range, boundary and out-of-support — and is exactly 0
+    where the exact kernel's zero padding gives 0 support."""
+    import jax
+    import jax.numpy as jnp
+
+    from occnerf_tpu.ops.trilinear import (pool_dilate_volume,
+                                           sample_motion_fields,
+                                           sample_motion_proxy)
+
+    rng = np.random.default_rng(7)
+    B = 5
+    vols = jnp.asarray(rng.uniform(size=(B + 1, 32, 32, 32))
+                       .astype(np.float32))
+    Rs = jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
+                     + rng.normal(0, 0.05, (B, 3, 3)).astype(np.float32))
+    Ts = jnp.asarray(rng.normal(0, 0.3, (B, 3)).astype(np.float32))
+    mn = jnp.asarray(np.float32([-1.2, -1.1, -1.3]))
+    scale = jnp.asarray(np.float32([0.9, 1.0, 0.8]))
+    # points spanning well past the volume so OOB paths are exercised
+    pts = jnp.asarray(rng.uniform(-4, 4, (2000, 3)).astype(np.float32))
+
+    _, fg = sample_motion_fields(pts, Rs, Ts, vols, mn, scale,
+                                 use_pallas=False)
+    proxy = pool_dilate_volume(vols[:B])
+    ub = sample_motion_proxy(pts, Rs, Ts, proxy, mn, scale,
+                             use_pallas=False)
+    fg = np.asarray(fg)[:, 0]
+    ub = np.asarray(ub)[:, 0]
+    assert (ub >= fg - 1e-5).all(), \
+        f"proxy below exact by {float((fg - ub).max())}"
+    # far-OOB samples must be exactly 0 under both
+    far = jnp.asarray(np.float32([[50.0, 50.0, 50.0]]))
+    _, fg_far = sample_motion_fields(far, Rs, Ts, vols, mn, scale,
+                                     use_pallas=False)
+    ub_far = sample_motion_proxy(far, Rs, Ts, proxy, mn, scale,
+                                 use_pallas=False)
+    assert float(fg_far[0, 0]) == 0.0 and float(ub_far[0, 0]) == 0.0

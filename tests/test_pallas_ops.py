@@ -161,3 +161,48 @@ def test_hashgrid_pallas_bf16_compute_dtype_close():
     out32 = hash_grid_encode_tpu(x, table, spec)
     np.testing.assert_allclose(np.asarray(out32), np.asarray(ref),
                                atol=1e-5)
+
+
+def test_motion_pallas_generalized_side_16():
+    """The side-generalized kernel (compaction-ranking proxy volumes are
+    16^3) matches the XLA trilinear oracle at side 16, fwd and grads."""
+    from occnerf_tpu.ops.motion_pallas import trilinear_bone_weights
+    from occnerf_tpu.ops.trilinear import _flat_trilinear
+
+    B, S, N = 3, 16, 640
+    rng = np.random.default_rng(5)
+    vols = jnp.asarray(rng.uniform(size=(B, S, S, S)).astype(np.float32))
+    fx = jnp.asarray(rng.uniform(-2, 17, (B, N)).astype(np.float32))
+    fy = jnp.asarray(rng.uniform(-2, 17, (B, N)).astype(np.float32))
+    fz = jnp.asarray(rng.uniform(-2, 17, (B, N)).astype(np.float32))
+
+    w = trilinear_bone_weights(vols, fx, fy, fz)
+    w_ref = _flat_trilinear(vols, fx, fy, fz)
+    np.testing.assert_allclose(np.asarray(w), np.asarray(w_ref), atol=1e-5)
+
+    g = jax.grad(lambda v: jnp.sum(
+        trilinear_bone_weights(v, fx, fy, fz) ** 2))(vols)
+    g_ref = jax.grad(lambda v: jnp.sum(
+        _flat_trilinear(v, fx, fy, fz) ** 2))(vols)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-4)
+
+
+def test_motion_proxy_pallas_matches_xla():
+    """sample_motion_proxy through the (interpret-mode) Pallas kernel
+    equals its XLA fallback."""
+    from occnerf_tpu.ops.trilinear import (pool_dilate_volume,
+                                           sample_motion_proxy)
+
+    rng = np.random.default_rng(6)
+    B = 4
+    vols = jnp.asarray(rng.uniform(size=(B, 32, 32, 32)).astype(np.float32))
+    proxy = pool_dilate_volume(vols)
+    Rs = jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (B, 1, 1)))
+    Ts = jnp.asarray(rng.normal(0, 0.3, (B, 3)).astype(np.float32))
+    mn = jnp.asarray(np.float32([-1.0, -1.0, -1.0]))
+    scale = jnp.asarray(np.float32([1.0, 1.0, 1.0]))
+    pts = jnp.asarray(rng.uniform(-3, 3, (700, 3)).astype(np.float32))
+
+    a = sample_motion_proxy(pts, Rs, Ts, proxy, mn, scale, use_pallas=True)
+    b = sample_motion_proxy(pts, Rs, Ts, proxy, mn, scale, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
