@@ -99,6 +99,10 @@ def pool_dilate_volume(vols: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
     pass (:func:`sample_motion_proxy`): ranking by an upper bound can
     only *add* kept candidates, never hide a positive-mass sample.
     """
+    assert vols.shape[1] % factor == 0, (
+        f"volume side {vols.shape[1]} not divisible by pool factor "
+        f"{factor}: VALID pooling would drop the last rows and break "
+        "the upper-bound property")
     pooled = jax.lax.reduce_window(
         vols, -jnp.inf, jax.lax.max,
         (1, factor, factor, factor), (1, factor, factor, factor), "VALID")
