@@ -485,6 +485,11 @@ class Network:
             iota = jnp.arange(ns_all, dtype=jnp.int32)
             _, perm = jax.lax.sort_key_val(-mflat, iota)
             _, iperm = jax.lax.sort_key_val(perm, iota)
+            # saved (not recomputed) under the training remat policy:
+            # re-running both 131k-key sorts in the backward costs more
+            # than the ~1 MB/chunk the int32 permutations occupy
+            perm = ad_checkpoint.checkpoint_name(perm, "rank_perm")
+            iperm = ad_checkpoint.checkpoint_name(iperm, "rank_perm")
             kept_rows = perm[:K]
             rv = jnp.broadcast_to(
                 ray_valid[:, None], (n, c.n_samples)).reshape(-1)
@@ -719,7 +724,7 @@ class Network:
                 # indices, the no-input-grad hash encode) are saved, not
                 # recomputed — together they dominate forward time.
                 policy = jax.checkpoint_policies.save_only_these_names(
-                    "knn_idx", "hash_enc", "motion_w")
+                    "knn_idx", "hash_enc", "motion_w", "rank_perm")
                 body = jax.checkpoint(body, policy=policy)
 
             mapped = jax.lax.map(body, (
