@@ -41,6 +41,9 @@ def main() -> None:
                     choices=("float32", "bfloat16"),
                     help="matmul input dtype of the no-grad eval path "
                          "(tpu.eval_compute_dtype)")
+    ap.add_argument("--proxy", action="store_true",
+                    help="rank compaction with the half-res upper-bound "
+                         "volume (tpu.motion_rank_proxy)")
     args = ap.parse_args()
 
     c = get_default_cfg()
@@ -52,6 +55,7 @@ def main() -> None:
     c.tpu.sample_compaction = args.compaction
     c.tpu.eval_chunk = args.eval_chunk
     c.tpu.eval_compute_dtype = args.eval_dtype
+    c.tpu.motion_rank_proxy = args.proxy
     c.logdir = os.path.join(tmp, "logs")
     set_cfg(c)
 
@@ -87,7 +91,7 @@ def main() -> None:
           f"{dt * 1000:.0f} ms -> {n_rays / dt:.0f} rays/s/chip "
           f"(512x512 tpose camera, occnerf MLP, eval_chunk "
           f"{args.eval_chunk}, compaction {args.compaction}, "
-          f"eval_dtype {args.eval_dtype})")
+          f"eval_dtype {args.eval_dtype}, proxy {args.proxy})")
 
 
 if __name__ == "__main__":
