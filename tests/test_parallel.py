@@ -322,3 +322,71 @@ def test_production_trainer_mesh_dp_equals_single_device(tmp_path):
     for ln, m in vgg_convs:
         assert int(m.group(1)) <= 1, \
             f"replicated VGG conv in per-device HLO: {ln.strip()[:120]}"
+
+
+def test_proxy_compaction_sharded_equals_single():
+    """Proxy-ranked compaction (tpu.motion_rank_proxy) on the sharded ray
+    axis matches the single-device render — the global ranking sort and
+    the kept-row gather/scatter survive SPMD partitioning."""
+    from occnerf_tpu.models.network import Network, NetworkConfig
+    from occnerf_tpu.parallel import make_mesh, replicated, shard_batch
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the virtual multi-device mesh")
+
+    rng = np.random.default_rng(3)
+    nc = NetworkConfig(
+        n_samples=16, chunk=64, knn_backend="exact",
+        sample_compaction=0.5, motion_rank_proxy=True,
+        cnl_mlp_depth=2, cnl_mlp_width=32,
+        cnl_num_levels=4, cnl_log2_hashmap_size=10, cnl_base_resolution=4,
+        mweight_module="self_vol", mweight_embedding_size=32,
+        mweight_volume_size=8,
+        nr_mlp_width=16, nr_mlp_depth=3, nr_skips=(2,),
+        nr_kick_in_iter=10, nr_full_band_iter=100,
+        pose_mlp_width=32, pose_mlp_depth=2, pose_kick_in_iter=50)
+    net = Network(nc)
+    verts = rng.normal(0, 0.2, (96, 3)).astype(np.float32)
+    joints = rng.normal(0, 0.3, (24, 3)).astype(np.float32)
+    faces = rng.integers(0, 96, (100, 3)).astype(np.int32)
+    statics = net.generate_neural_points(verts, joints, faces)
+    params, state = net.init(jax.random.PRNGKey(0), statics)
+
+    N = 64
+    batch = {
+        "rays": np.stack([
+            rng.normal(0, 0.1, (N, 3)) + [0, 0, -2.0],
+            np.tile([0, 0, 1.0], (N, 1))]).astype(np.float32),
+        "near": np.full((N, 1), 1.0, np.float32),
+        "far": np.full((N, 1), 3.0, np.float32),
+        "ray_valid": np.ones((N,), np.float32),
+        "dst_Rs": np.tile(np.eye(3, dtype=np.float32), (24, 1, 1)),
+        "dst_Ts": np.zeros((24, 3), np.float32),
+        "cnl_gtfms": np.tile(np.eye(4, dtype=np.float32), (24, 1, 1)),
+        "motion_weights_priors":
+            rng.uniform(0.01, 1, (25, 8, 8, 8)).astype(np.float32),
+        "dst_posevec": np.full((69,), 0.01, np.float32),
+        "cnl_bbox_min_xyz": np.array([-1, -1, -1], np.float32),
+        "cnl_bbox_scale_xyz": np.array([1, 1, 1], np.float32),
+        "bgcolor": np.array([255.0, 255.0, 255.0], np.float32),
+    }
+
+    def fwd(params, state, batch):
+        out, _ = net.forward(params, statics, state, batch, 1e7,
+                             training=False, perturb=0.0)
+        return out["rgb"], out["depth"]
+
+    ref_rgb, ref_depth = jax.jit(fwd)(
+        params, state, jax.tree.map(jnp.asarray, batch))
+
+    mesh = make_mesh()
+    with mesh:
+        sbatch = shard_batch(mesh, batch)
+        sparams = replicated(mesh, params)
+        sstate = replicated(mesh, state)
+        rgb, depth = jax.jit(fwd)(sparams, sstate, sbatch)
+
+    np.testing.assert_allclose(np.asarray(rgb), np.asarray(ref_rgb),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(depth), np.asarray(ref_depth),
+                               atol=1e-5)
