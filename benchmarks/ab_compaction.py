@@ -27,7 +27,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 def run_arm(subject_path: str, compaction: float, iters: int,
             seed: int, log2_hashmap: int = 14,
             rank_dtype: str = "float32",
-            eval_dtype: str = "float32") -> dict:
+            eval_dtype: str = "float32",
+            proxy: bool = False) -> dict:
     import numpy as np
 
     from occnerf_tpu.config import cfg, get_default_cfg, set_cfg
@@ -42,6 +43,7 @@ def run_arm(subject_path: str, compaction: float, iters: int,
     c.pose_decoder.kick_in_iter = 2_000_000
     c.non_rigid_motion_mlp.kick_in_iter = 100_000
     c.tpu.sample_compaction = compaction
+    c.tpu.motion_rank_proxy = proxy
     c.tpu.rank_compute_dtype = rank_dtype
     c.tpu.eval_compute_dtype = eval_dtype
     c.tpu.train_chunk = 512
@@ -80,6 +82,7 @@ def run_arm(subject_path: str, compaction: float, iters: int,
     means.update({"compaction": compaction, "iters": iters, "seed": seed,
                   "log2_hashmap": log2_hashmap,
                   "rank_dtype": rank_dtype, "eval_dtype": eval_dtype,
+                  "proxy": proxy,
                   "wall_sec": round(wall, 1),
                   "sec_per_iter": round(wall / max(iters, 1), 3)})
     return means
@@ -95,6 +98,8 @@ def main() -> None:
                     help="comma list of log2_hashmap_size arms (e.g. "
                          "'14,19' to A/B the reference-exact 2^19 "
                          "geometry against the MXU-capped 2^14)")
+    ap.add_argument("--proxy", action="store_true",
+                    help="tpu.motion_rank_proxy for every arm")
     ap.add_argument("--rank-dtype", default="float32",
                     choices=("float32", "bfloat16"),
                     help="tpu.rank_compute_dtype for every arm")
@@ -116,7 +121,8 @@ def main() -> None:
             res = run_arm(subject_path, arm, args.iters, args.seed,
                           log2_hashmap=log2,
                           rank_dtype=args.rank_dtype,
-                          eval_dtype=args.eval_dtype)
+                          eval_dtype=args.eval_dtype,
+                          proxy=args.proxy)
             print("AB_RESULT " + json.dumps(res), flush=True)
 
 
