@@ -367,6 +367,12 @@ def grad_total_variation(inputs: jnp.ndarray, table: jnp.ndarray,
             for side in (+1, -1):
                 shifted = pos_grid.at[d].add(
                     jnp.uint32(side & 0xFFFFFFFF))  # -1 wraps (masked)
+                # CUDA-exact bound (`gridencoder.cu:572` cur_d <
+                # resolution).  Reference quirk preserved deliberately:
+                # for align_corners grids (stride = res, samples
+                # 0..res-1) this admits a +1 neighbour at coordinate
+                # res, which get_grid_index wraps to an unrelated row —
+                # the CUDA kernel does the same
                 valid = (pos_grid[d] < res) if side > 0 \
                     else (pos_grid[d] > 0)                      # (N,)
                 nb = _corner_index(shifted, zero_bits, spec, lvl)

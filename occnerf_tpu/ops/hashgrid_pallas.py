@@ -34,6 +34,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ._dtypes import DTYPES as _DTYPES_, dt_key as _dt_key_
+
 from .hashgrid import _PRIMES, HashGridSpec
 
 LANES = 128
@@ -46,18 +48,20 @@ MAX_LOG2 = 15          # one-hot matmul viable up to 2^15-entry tables
 # hash_grid_encode_tpu(compute_dtype=...).
 COMPUTE_DTYPE = jnp.float32
 
-_DTYPES = {"f32": jnp.float32, "bf16": jnp.bfloat16}
-
-
-def _dt_key(dtype) -> str:
-    """Hashable key for a matmul dtype (custom_vjp static arg)."""
-    return "bf16" if jnp.dtype(dtype) == jnp.bfloat16 else "f32"
 
 
 def supports(spec: HashGridSpec) -> bool:
     """Kernel handles specs whose every level hashes into the same
-    power-of-two table size (true for 4-D inputs with capped tables)."""
+    power-of-two table size (true for 4-D inputs with capped tables).
+
+    The kernel implements the flagship semantics only — linear
+    interpolation, align_corners=False (`_grids_fracs` hardcodes the
+    +0.5 offset and linear fracs): reject the extended gridencoder modes
+    so the 'auto' backend routes them to the exact XLA/sorted paths
+    instead of silently computing linear features for them."""
     if spec.level_dim != 2 or spec.input_dim > 4:
+        return False
+    if spec.interpolation != "linear" or spec.align_corners:
         return False
     if spec.log2_hashmap_size > MAX_LOG2:
         return False
@@ -291,7 +295,7 @@ def hash_grid_encode_tpu(inputs: jnp.ndarray, table: jnp.ndarray,
     dt = COMPUTE_DTYPE if compute_dtype is None else compute_dtype
     shape = inputs.shape[:-1]
     x = inputs.reshape(-1, spec.input_dim).astype(jnp.float32)
-    out = _encode(x, table, spec, _dt_key(dt))
+    out = _encode(x, table, spec, _dt_key_(dt))
     return out.reshape(shape + (spec.output_dim,))
 
 
@@ -310,7 +314,7 @@ def _encode_fwd(x, table, spec, dtk):
     tbl = _prep_tables(table, spec, E)
 
     out = pl.pallas_call(
-        _build_fwd_kernel(spec, E, n_rows, _DTYPES[dtk]),
+        _build_fwd_kernel(spec, E, n_rows, _DTYPES_[dtk]),
         grid=(nblk,),
         in_specs=[
             pl.BlockSpec((Q_BLK, spec.input_dim), lambda i: (i, 0),
@@ -338,7 +342,7 @@ def _encode_bwd(spec, dtk, res, g):
     nblk = xp.shape[0] // Q_BLK
 
     dtbl = pl.pallas_call(
-        _build_bwd_kernel(spec, E, n_rows, _DTYPES[dtk]),
+        _build_bwd_kernel(spec, E, n_rows, _DTYPES_[dtk]),
         grid=(nblk,),
         in_specs=[
             pl.BlockSpec((Q_BLK, spec.input_dim), lambda i: (i, 0),

@@ -42,6 +42,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ._dtypes import DTYPES as _DTYPES_, dt_key as _dt_key_
+
 D = 32                 # default volume side (32^3); table rows = 1024.
                        # kernels are generalized over the side (the
                        # compaction-ranking proxy uses pooled 16^3
@@ -54,12 +56,6 @@ Q_BLK = 512            # queries per grid step
 # per-call override via trilinear_bone_weights(compute_dtype=...)
 COMPUTE_DTYPE = jnp.float32
 
-_DTYPES = {"f32": jnp.float32, "bf16": jnp.bfloat16}
-
-
-def _dt_key(dtype) -> str:
-    """Hashable key for a matmul dtype (custom_vjp static arg)."""
-    return "bf16" if jnp.dtype(dtype) == jnp.bfloat16 else "f32"
 
 
 def _interpret() -> bool:
@@ -233,7 +229,7 @@ def trilinear_bone_weights(vols: jnp.ndarray, fx: jnp.ndarray,
         (B, N) interpolated weights.
     """
     dt = COMPUTE_DTYPE if compute_dtype is None else compute_dtype
-    return _tbw(_dt_key(dt), vols, fx, fy, fz)
+    return _tbw(_dt_key_(dt), vols, fx, fy, fz)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -242,7 +238,7 @@ def _tbw(dtk, vols, fx, fy, fz):
 
 
 def _fwd(dtk, vols, fx, fy, fz):
-    cdt = _DTYPES[dtk]
+    cdt = _DTYPES_[dtk]
     B, N = fx.shape
     side = vols.shape[1]
     rows = side * side
@@ -271,7 +267,7 @@ def _fwd(dtk, vols, fx, fy, fz):
 
 
 def _bwd(dtk, res, g):
-    cdt = _DTYPES[dtk]
+    cdt = _DTYPES_[dtk]
     vols, fx, fy, fz = res
     B, N = fx.shape
     side = vols.shape[1]

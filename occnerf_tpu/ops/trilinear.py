@@ -96,8 +96,17 @@ def pool_dilate_volume(vols: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
     corner cells of ``f`` lie in {floor(f/factor), floor(f/factor)+1},
     and the 1-cell dilation makes every tent-support cell dominate both
     — so the tent combination >= exact.  Used by the compaction-ranking
-    pass (:func:`sample_motion_proxy`): ranking by an upper bound can
-    only *add* kept candidates, never hide a positive-mass sample.
+    pass (:func:`sample_motion_proxy`): the proxy-positive set is a
+    superset of the exact-positive set, so compaction is exact whenever
+    K covers every PROXY-positive sample.  Beyond that (K smaller than
+    the proxy-positive count — the practical regime, since softmax
+    volumes are positive almost everywhere in-bbox), samples are ranked
+    by the upper bound rather than the exact mass: a dilation-inflated
+    zero-mass sample can then outrank a genuinely positive one.
+    Measured on the flagship synthetic workload at compaction 0.375:
+    2.7% of total exact mass dropped under proxy ranking vs 1.8% under
+    exact ranking, quality-neutral in two 100-iter convergence soaks
+    (docs/ROADMAP.md).
     """
     assert vols.shape[1] % factor == 0, (
         f"volume side {vols.shape[1]} not divisible by pool factor "

@@ -75,6 +75,18 @@ def test_hashgrid_pallas_supports_gate():
                              base_resolution=16, log2_hashmap_size=14,
                              desired_resolution=2048)
     assert not supports(d3)
+    # extended gridencoder modes the kernel does NOT implement must be
+    # rejected — 'auto' would otherwise silently compute linear,
+    # +0.5-offset features for them
+    smooth = HashGridSpec.create(input_dim=4, num_levels=4, level_dim=2,
+                                 base_resolution=16, log2_hashmap_size=13,
+                                 desired_resolution=512,
+                                 interpolation="smoothstep")
+    assert not supports(smooth)
+    ac = HashGridSpec.create(input_dim=4, num_levels=4, level_dim=2,
+                             base_resolution=16, log2_hashmap_size=13,
+                             desired_resolution=512, align_corners=True)
+    assert not supports(ac)
 
 
 def test_motion_pallas_integer_coord_grads():
