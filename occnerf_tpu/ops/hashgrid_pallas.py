@@ -82,34 +82,6 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _level_terms(x_cols, spec: HashGridSpec, lvl: int, E: int):
-    """Per-corner (hash (Q,1) int32, weight (Q,1) f32) for one level."""
-    D = spec.input_dim
-    scale = spec.scales[lvl]
-    grids, fracs = [], []
-    for d in range(D):
-        pos = x_cols[d] * scale + 0.5
-        g = jnp.floor(pos)
-        grids.append(g.astype(jnp.int32))
-        fracs.append(pos - g)
-
-    corners = []
-    for ci in range(1 << D):
-        h = jnp.zeros_like(grids[0])
-        w = None
-        for d in range(D):
-            bit = (ci >> d) & 1
-            cd = grids[d] + bit
-            # int32 wrap-around multiply == the CUDA uint32 hash arithmetic
-            prime_i32 = int(_PRIMES[d]) - (1 << 32) \
-                if int(_PRIMES[d]) >= (1 << 31) else int(_PRIMES[d])
-            h = h ^ (cd * jnp.int32(prime_i32))
-            wd = fracs[d] if bit else 1.0 - fracs[d]
-            w = wd if w is None else w * wd
-        corners.append((h & (E - 1), w))
-    return corners
-
-
 def _grids_fracs(x_cols, spec, lvl):
     """Per-dim integer cell + fractional offset at one level."""
     grids, fracs = [], []
