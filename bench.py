@@ -28,6 +28,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
+    from occnerf_tpu.utils.platform import ensure_platform
+    ensure_platform()  # honor JAX_PLATFORMS before backend init
     import jax
 
     from occnerf_tpu.config import cfg, init_cfg
@@ -43,6 +45,7 @@ def main() -> None:
     # overridden only with the synthetic data source and muted logging
     c = init_cfg("configs/occnerf/zju_mocap/387/occnerf_tpu.yaml", [
         "train.dataset", "synthetic_train",   # no licensed ZJU data in env
+        "tpose.dataset", "synthetic_test",    # render-metric camera source
         "synthetic_dataset_path", subject_path,
         "progress.dump_interval", "1000000000",
         "train.save_checkpt_interval", "1000000000",
@@ -91,6 +94,42 @@ def main() -> None:
     # compares one TPU chip against one reference GPU
     baseline_iters_per_s = 2.2 / 4.0
 
+    # the north star's second metric: no-grad render throughput at the
+    # 512x512 tpose camera (guarded — a render failure must not cost the
+    # train metric)
+    render_fields = {}
+    try:
+        from occnerf_tpu.data import create_dataset
+        from occnerf_tpu.train.trainer import _device_batch
+
+        ds = create_dataset("tpose")
+        rbatch = _device_batch(ds[0])
+        n_rays = int(rbatch["rays"].shape[1])
+
+        @jax.jit
+        def render(params, state, batch):
+            out, _ = network.forward(params, statics, state, batch, 1e7,
+                                     training=False, perturb=0.0,
+                                     ignore_non_rigid=True)
+            return out["rgb"]
+
+        rgb = render(trainer.params, trainer.state, rbatch)
+        _ = float(rgb[0, 0])
+        rts = []
+        for _i in range(3):
+            rt0 = time.time()
+            rgb = render(trainer.params, trainer.state, rbatch)
+            _ = float(rgb[123, 1])
+            rts.append(time.time() - rt0)
+        rdt = sorted(rts)[len(rts) // 2]
+        render_fields = {
+            "render_rays_per_sec": round(n_rays / rdt, 1),
+            "render_sec_per_frame": round(rdt, 3),
+        }
+    except Exception as e:  # pragma: no cover - chip-env guard
+        render_fields = {"render_rays_per_sec": None,
+                         "render_error": f"{type(e).__name__}: {e}"[:200]}
+
     print(json.dumps({
         "metric": "train_rays_per_sec_per_chip",
         "value": round(rays_per_s, 1),
@@ -102,6 +141,7 @@ def main() -> None:
         "config": "configs/occnerf/zju_mocap/387/occnerf_tpu.yaml",
         "n_devices": len(jax.devices()),
         "lpips_weights": LPIPS.weights_mode(),
+        **render_fields,
     }))
 
 

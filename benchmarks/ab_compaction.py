@@ -89,6 +89,8 @@ def run_arm(subject_path: str, compaction: float, iters: int,
 
 
 def main() -> None:
+    from occnerf_tpu.utils.platform import ensure_platform
+    ensure_platform()  # honor JAX_PLATFORMS before backend init
     ap = argparse.ArgumentParser()
     ap.add_argument("--seed", type=int, default=1,
                     help="synthetic-subject geometry seed")

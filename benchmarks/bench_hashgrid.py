@@ -39,6 +39,8 @@ def _time(fn, *a):
 
 
 def main() -> None:
+    from occnerf_tpu.utils.platform import ensure_platform
+    ensure_platform()  # honor JAX_PLATFORMS before backend init
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=393_216,
                     help="samples (786k raw; ~393k at compaction 0.5)")

@@ -26,6 +26,8 @@ import jax.numpy as jnp  # noqa: E402
 
 
 def main() -> None:
+    from occnerf_tpu.utils.platform import ensure_platform
+    ensure_platform()  # honor JAX_PLATFORMS before backend init
     from occnerf_tpu.ops.knn import knn, multiscale_knn
     from occnerf_tpu.utils.mesh import multiscale_fps_indices
 

@@ -22,6 +22,8 @@ import numpy as np  # noqa: E402
 
 
 def main() -> None:
+    from occnerf_tpu.utils.platform import ensure_platform
+    ensure_platform()  # honor JAX_PLATFORMS before backend init
     import jax
 
     from occnerf_tpu.config import get_default_cfg, set_cfg

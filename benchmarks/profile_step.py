@@ -20,6 +20,8 @@ REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir)
 
 
 def main() -> None:
+    from occnerf_tpu.utils.platform import ensure_platform
+    ensure_platform()  # honor JAX_PLATFORMS before backend init
     ap = argparse.ArgumentParser()
     ap.add_argument("--compaction", type=float, default=0.5)
     ap.add_argument("--steps", type=int, default=5)
