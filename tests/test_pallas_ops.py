@@ -218,3 +218,49 @@ def test_motion_proxy_pallas_matches_xla():
     a = sample_motion_proxy(pts, Rs, Ts, proxy, mn, scale, use_pallas=True)
     b = sample_motion_proxy(pts, Rs, Ts, proxy, mn, scale, use_pallas=False)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_canonical_enc_dtype_reaches_pallas_kernel():
+    """The eval-path enc_dtype kwarg threads through
+    OccNeRFCanonicalMLP.apply -> _encode_no_input_grad -> the Pallas
+    kernel (forced backend, interpret mode on CPU) and stays within
+    bf16 rounding of the XLA backend."""
+    from occnerf_tpu import ops as ops_pkg
+    from occnerf_tpu.models.canonical import OccNeRFCanonicalMLP
+
+    # base_resolution 16 so every level hashes (dense coarse levels make
+    # supports() reject the spec)
+    mlp = OccNeRFCanonicalMLP(mlp_depth=2, mlp_width=32, bound=1.0,
+                              num_levels=4, level_dim=2,
+                              base_resolution=16, log2_hashmap_size=10)
+    params = mlp.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(9)
+    N, k = 96, 3
+    xyz = jnp.asarray(rng.normal(0, 0.3, (N, 3)).astype(np.float32))
+    knn_points = jnp.asarray(rng.normal(0, 0.3, (N, k, 3))
+                             .astype(np.float32))
+    point_norms = jnp.asarray(rng.normal(size=(N, k, 3)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, 40, (N, 4, k)).astype(np.int32))
+    # lane 0 = visibility counter, then enc_dim (= 4 levels x 2), then
+    # the 3 learnable point coords
+    vert_feat = jnp.asarray(
+        rng.normal(0, 0.1, (40, 1 + mlp.enc_dim + 3)).astype(np.float32))
+
+    def run(backend, dt):
+        ops_pkg.set_hashgrid_backend(backend)
+        try:
+            return np.asarray(mlp.apply(
+                params, xyz=xyz, knn_points=knn_points,
+                point_norms=point_norms, knn_idxs=idx,
+                vert_feat=vert_feat, enc_dtype=dt))
+        finally:
+            ops_pkg.set_hashgrid_backend("auto")
+
+    ref = run("xla", None)
+    pal32 = run("pallas", None)
+    palbf = run("pallas", jnp.bfloat16)
+    np.testing.assert_allclose(pal32, ref, atol=1e-5)
+    np.testing.assert_allclose(palbf, ref, atol=3e-2)
+    # bf16 must actually differ from exact f32 (the dtype reached the
+    # kernel rather than being dropped on the floor)
+    assert np.abs(palbf - pal32).max() > 0
