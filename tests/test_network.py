@@ -442,3 +442,64 @@ def test_motion_rank_proxy_exact(setup):
         assert np.isfinite(np.asarray(a)).all()
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
                                    atol=2e-4)
+
+
+def test_proxy_eval_padded_rays_composite_to_bg(setup):
+    """Eval-bucket padding (ray_valid = 0, near = far = 0) under
+    proxy-ranked compaction: padded rays composite to exactly bgcolor
+    and never crowd real samples out of the kept set (valid-ray outputs
+    match the unpadded forward)."""
+    _, _, state, _, batch = setup
+    from occnerf_tpu.smpl.model import SMPL, save_model, \
+        synthetic_smpl_model as _ssm
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    save_model(_ssm(n_verts=128, seed=2), os.path.join(
+        d, "basicModel_neutral_lbs_10_207_0_v1.0.0.pkl"))
+    smpl = SMPL(model_dir=d)
+    verts, joints = smpl(np.zeros(72), np.zeros(10))
+
+    cfg = NetworkConfig(
+        n_samples=64, chunk=64, knn_backend="exact",
+        sample_compaction=0.5, motion_rank_proxy=True,
+        cnl_mlp_depth=2, cnl_mlp_width=32,
+        cnl_num_levels=4, cnl_log2_hashmap_size=10,
+        cnl_base_resolution=4,
+        mweight_embedding_size=32, mweight_volume_size=8,
+        nr_mlp_width=16, nr_mlp_depth=3, nr_skips=(2,),
+        nr_kick_in_iter=10, nr_full_band_iter=100,
+        pose_mlp_width=32, pose_mlp_depth=2, pose_kick_in_iter=50)
+    net = Network(cfg)
+    statics = net.generate_neural_points(verts, joints, smpl.faces)
+    params, state = net.init(jax.random.PRNGKey(0), statics)
+
+    # sparse scene (most samples out of volume) so K covers every
+    # proxy-positive sample at BOTH ray counts: padding changes ns_all
+    # and hence K, so equality of the valid rays only holds in the
+    # exact-compaction regime
+    batch = dict(batch)
+    batch["far"] = jnp.full_like(batch["far"], 10.0)
+    n = batch["rays"].shape[1]
+    padded = dict(batch)
+    padded["rays"] = jnp.concatenate(
+        [batch["rays"], jnp.zeros_like(batch["rays"])], axis=1)
+    padded["near"] = jnp.concatenate(
+        [batch["near"], jnp.zeros_like(batch["near"])], axis=0)
+    padded["far"] = jnp.concatenate(
+        [batch["far"], jnp.zeros_like(batch["far"])], axis=0)
+    padded["ray_valid"] = jnp.concatenate(
+        [jnp.ones((n,), jnp.float32), jnp.zeros((n,), jnp.float32)])
+
+    out_p, _ = net.forward(params, statics, state, padded, 1e7,
+                           training=False)
+    out_u, _ = net.forward(params, statics, state, batch, 1e7,
+                           training=False)
+    # padded rays -> exactly bgcolor/255, zero alpha
+    np.testing.assert_allclose(
+        np.asarray(out_p["rgb"][n:]),
+        np.tile(np.asarray(batch["bgcolor"]) / 255.0, (n, 1)), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_p["alpha"][n:]), 0.0,
+                               atol=1e-6)
+    # valid rays unaffected by the padding
+    np.testing.assert_allclose(np.asarray(out_p["rgb"][:n]),
+                               np.asarray(out_u["rgb"]), atol=1e-5)
