@@ -32,6 +32,29 @@ def main() -> None:
     ensure_platform()  # honor JAX_PLATFORMS before backend init
     import jax
 
+    # a registered-but-unreachable TPU plugin (axon tunnel outage) makes
+    # backend init hang or hard-fail; probe it in a time-bounded child
+    # and emit a readable artifact instead of a stack trace / hang
+    import subprocess
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import os, jax\n"
+             "v = os.environ.get('JAX_PLATFORMS')\n"
+             "if v: jax.config.update('jax_platforms', v)\n"
+             "jax.devices()"],
+            timeout=180, capture_output=True, text=True)
+        probe_err = ("" if probe.returncode == 0
+                     else (probe.stderr or "backend init failed")[-300:])
+    except subprocess.TimeoutExpired:
+        probe_err = "backend init timed out after 180s (tunnel down?)"
+    if probe_err:
+        print(json.dumps({
+            "metric": "train_rays_per_sec_per_chip", "value": None,
+            "unit": "rays/s", "vs_baseline": None,
+            "error": f"device backend unavailable: {probe_err}"}))
+        return
+
     from occnerf_tpu.config import cfg, init_cfg
     from occnerf_tpu.data.synthetic import make_synthetic_subject
 
