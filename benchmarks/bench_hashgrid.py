@@ -76,12 +76,15 @@ def main() -> None:
             log2_hashmap_size=log2, desired_resolution=2048)
         table = spec.init_table(jax.random.PRNGKey(0))
 
-        fwd = jax.jit(lambda xx, t, enc=enc, spec=spec: enc(xx, t, spec))
+        # reduce to a SCALAR on device: the axon device->host tunnel is
+        # ~MB/s, so fetching even one element of a (N, 32) output drags
+        # the whole buffer across and times the transfer, not the kernel
+        fwd = jax.jit(lambda xx, t, enc=enc, spec=spec:
+                      jnp.sum(enc(xx, t, spec)))
         t_fwd = _time(fwd, x, table)
 
-        bwd = jax.jit(jax.grad(
-            lambda t, xx, enc=enc, spec=spec:
-            jnp.sum(enc(xx, t, spec) ** 2), argnums=0))
+        bwd = jax.jit(lambda t, xx, enc=enc, spec=spec: jnp.sum(jax.grad(
+            lambda tt: jnp.sum(enc(xx, tt, spec) ** 2))(t) ** 2))
         t_bwd = _time(bwd, table, x)
 
         print(f"{name}: table {spec.table_size} rows | "

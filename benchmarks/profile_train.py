@@ -29,6 +29,8 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--out", default="")
     ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("opts", nargs="*",
+                    help="extra 'key value' config overrides, as bench.py")
     args = ap.parse_args()
 
     import jax
@@ -46,7 +48,7 @@ def main() -> None:
         "progress.dump_interval", "1000000000",
         "train.save_checkpt_interval", "1000000000",
         "train.log_interval", "1000000000",
-    ])
+    ] + args.opts)
     c.logdir = os.path.join(tmp, "logs")
 
     from occnerf_tpu.app import build_model

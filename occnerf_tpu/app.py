@@ -42,11 +42,12 @@ def apply_tpu_settings() -> None:
     """Apply cfg.tpu ops knobs (compute dtype, KNN recall, hash-grid
     backend) — must run before the first jit trace of the model."""
     from .ops import (set_compute_dtype, set_hashgrid_backend,
-                      set_knn_recall)
+                      set_knn_recall, set_vertagg_backend)
     tpu = cfg.get("tpu", {})
     set_compute_dtype(tpu.get("compute_dtype", "float32"))
     set_knn_recall(tpu.get("knn_recall", 0.95))
     set_hashgrid_backend(tpu.get("hashgrid_backend", "auto"))
+    set_vertagg_backend(tpu.get("vertagg_backend", "auto"))
 
 
 def build_model(subject, dataset_path: Optional[str] = None,

@@ -190,6 +190,11 @@ def get_default_cfg() -> CfgNode:
         # one-hot, tables <= 2^15) | 'sorted' (scatter-free sorted
         # backward, any size) | 'xla' (AD oracle path)
         hashgrid_backend="auto",
+        # KNN vertex-feature aggregation backend: 'auto' | 'pallas'
+        # (attention-weighted one-hot MXU matmul, padded vertex tables
+        # <= 2048 rows — kills the per-chunk scatter-add backward) |
+        # 'xla' (gather+einsum oracle path)
+        vertagg_backend="auto",
         # rank compaction candidates with a max-pooled+dilated HALF-RES
         # proxy volume (a provable upper bound of the exact trilinear
         # foreground likelihood: positive-mass samples can never be

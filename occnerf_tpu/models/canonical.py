@@ -157,6 +157,16 @@ class OccNeRFCanonicalMLP:
         }
 
     # -- pieces -------------------------------------------------------------
+    def _att_normalize(self, atts: jnp.ndarray):
+        """Attention normalization chain (occnerf_mlp.py:86-120):
+        min-shift, max-normalize, variance feature, softmax.  Returns
+        (softmax weights (N, K), var (N, 1)); callers must treat the
+        weights as detached (the reference stop-gradients the softmax)."""
+        atts = atts + 1.0 - jnp.min(atts, axis=1, keepdims=True)
+        atts = atts / jnp.max(atts, axis=1, keepdims=True)
+        var = jnp.var(atts, axis=1, ddof=1, keepdims=True)       # (N, 1)
+        return jax.nn.softmax(atts, axis=1), var
+
     def simple_agg(self, atts: jnp.ndarray, feats: jnp.ndarray):
         """Visibility-attention aggregation (occnerf_mlp.py:86-126):
         min-shift, max-normalize, variance feature, softmax (detached).
@@ -168,10 +178,7 @@ class OccNeRFCanonicalMLP:
         the caller drops lane 0 after the reduction — slicing (N, K, 35)
         out of the gather beforehand costs a ~24 ms pad in the backward
         (d(gathered) = concat(0, d(feats))) plus layout copies."""
-        atts = atts + 1.0 - jnp.min(atts, axis=1, keepdims=True)
-        atts = atts / jnp.max(atts, axis=1, keepdims=True)
-        var = jnp.var(atts, axis=1, ddof=1, keepdims=True)       # (N, 1)
-        atts = jax.nn.softmax(atts, axis=1)
+        atts, var = self._att_normalize(atts)
         agg = jnp.einsum("nk,nkc->nc", jax.lax.stop_gradient(atts), feats)
         return agg, var
 
@@ -247,14 +254,36 @@ class OccNeRFCanonicalMLP:
             vert_feat = self.vertex_features(
                 params, knn_att_per_vertex, surface_points, point_sdf,
                 learnable_points, concat_map)
-        gathered = vert_feat[knn_idxs.reshape(N, -1)]            # (N,4k,36)
-        # extract the visibility lane as a contraction (a strided lane-0
-        # slice forces transposed layouts + copies, ~45 ms/step measured)
-        e0 = jnp.zeros((gathered.shape[-1],), gathered.dtype).at[0].set(1.0)
-        knn_att = jax.lax.stop_gradient(
-            jnp.einsum("nkc,c->nk", gathered, e0))               # (N,4k)
-
-        agg36, var = self.simple_agg(knn_att, gathered)  # (N,36),(N,1)
+        flat_idx = knn_idxs.reshape(N, -1)                       # (N, 4k)
+        from .. import ops as _ops
+        from ..ops import vertagg as _vertagg
+        backend = _ops.VERTAGG_BACKEND
+        if backend == "auto":
+            backend = ("pallas" if _jax.default_backend() == "tpu"
+                       and _vertagg.supports(vert_feat.shape[0],
+                                             vert_feat.shape[1],
+                                             flat_idx.shape[1]) else "xla")
+        if backend == "pallas":
+            # the attention lane is a flat 1-D take (fast gather path);
+            # the 36-lane aggregation and its table gradient run as
+            # one-hot MXU matmuls — no (N*K, 36) gather/scatter at all
+            knn_att = jax.lax.stop_gradient(
+                jnp.take(vert_feat[:, 0], flat_idx.reshape(-1))
+                .reshape(flat_idx.shape))                        # (N,4k)
+            atts_sm, var = self._att_normalize(knn_att)
+            agg36 = _vertagg.knn_weighted_agg(
+                vert_feat, flat_idx, jax.lax.stop_gradient(atts_sm),
+                compute_dtype=enc_dtype)                 # (N,36)
+        else:
+            gathered = vert_feat[flat_idx]                       # (N,4k,36)
+            # extract the visibility lane as a contraction (a strided
+            # lane-0 slice forces transposed layouts + copies, ~45 ms/step
+            # measured)
+            e0 = jnp.zeros((gathered.shape[-1],),
+                           gathered.dtype).at[0].set(1.0)
+            knn_att = jax.lax.stop_gradient(
+                jnp.einsum("nkc,c->nk", gathered, e0))           # (N,4k)
+            agg36, var = self.simple_agg(knn_att, gathered)
         agg = agg36[:, 1:]                               # drop the att lane
 
         h = jnp.concatenate([agg, var, h_enc], axis=-1)

@@ -42,3 +42,22 @@ def set_hashgrid_backend(name: str) -> None:
     if name not in ("auto", "pallas", "sorted", "xla"):
         raise ValueError(f"unknown hashgrid backend {name!r}")
     HASHGRID_BACKEND = name
+
+
+# backend for the KNN vertex-feature aggregation (cfg.tpu.vertagg_backend):
+#   'auto'   — attention-weighted one-hot MXU matmul kernel on TPU when
+#              the vertex table fits (vertagg.supports: padded rows <=
+#              2048); the gather+einsum XLA path otherwise
+#   'pallas' — force the kernel (errors if unsupported)
+#   'xla'    — force gather+einsum (scatter-add backward; oracle path)
+VERTAGG_BACKEND = "auto"
+
+
+def set_vertagg_backend(name: str) -> None:
+    """Select the vertex-aggregation backend (see above).  Must run
+    BEFORE the first jit trace of the model."""
+    global VERTAGG_BACKEND
+    name = str(name)
+    if name not in ("auto", "pallas", "xla"):
+        raise ValueError(f"unknown vertagg backend {name!r}")
+    VERTAGG_BACKEND = name

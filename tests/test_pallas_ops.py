@@ -264,3 +264,81 @@ def test_canonical_enc_dtype_reaches_pallas_kernel():
     # bf16 must actually differ from exact f32 (the dtype reached the
     # kernel rather than being dropped on the floor)
     assert np.abs(palbf - pal32).max() > 0
+
+
+def test_vertagg_kernel_matches_gather_einsum():
+    """knn_weighted_agg == gather+einsum (values and table grads), with
+    non-divisible N (pad path) and padded V rows."""
+    from occnerf_tpu.ops.vertagg import knn_weighted_agg, supports
+
+    V, C, K, N = 333, 36, 40, 700   # V, N both force padding
+    rng = np.random.default_rng(3)
+    table = jnp.asarray(rng.normal(size=(V, C)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, V, (N, K)).astype(np.int32))
+    atts = jnp.asarray(rng.uniform(size=(N, K)).astype(np.float32))
+    assert supports(V, C, K)
+
+    def ref(table):
+        return jnp.einsum("nk,nkc->nc", atts, table[idx])
+
+    out = knn_weighted_agg(table, idx, atts)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref(table)),
+                               rtol=2e-5, atol=2e-5)
+
+    cot = jnp.asarray(rng.normal(size=(N, C)).astype(np.float32))
+    g = jax.grad(lambda t: jnp.sum(knn_weighted_agg(t, idx, atts) * cot))(
+        table)
+    g_ref = jax.grad(lambda t: jnp.sum(ref(t) * cot))(table)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_vertagg_backend_equivalence_through_canonical_mlp():
+    """Forcing the vertagg kernel through the full OccNeRF canonical MLP
+    matches the XLA gather+einsum path — outputs and encoder/table grads."""
+    from occnerf_tpu import ops as _ops
+    from occnerf_tpu.models.canonical import OccNeRFCanonicalMLP
+
+    mlp = OccNeRFCanonicalMLP(mlp_depth=2, mlp_width=32,
+                              log2_hashmap_size=8)
+    params = mlp.init(jax.random.PRNGKey(0))
+
+    N, k, V = 96, 10, 50
+    rng = np.random.default_rng(7)
+    xyz = jnp.asarray(rng.uniform(-0.5, 0.5, (N, 3)).astype(np.float32))
+    knn_points = jnp.asarray(
+        rng.uniform(-0.5, 0.5, (N, k, 3)).astype(np.float32))
+    point_norms = jnp.asarray(rng.normal(size=(N, k, 3)).astype(np.float32))
+    knn_idxs = jnp.asarray(rng.integers(0, V, (N, 4, k)).astype(np.int32))
+    kwargs = dict(
+        knn_att_per_vertex=jnp.asarray(
+            rng.uniform(size=(V,)).astype(np.float32)),
+        surface_points=jnp.asarray(
+            rng.uniform(-0.5, 0.5, (V, 3)).astype(np.float32)),
+        point_sdf=jnp.asarray(rng.uniform(size=(V, 1)).astype(np.float32)),
+        learnable_points=jnp.asarray(
+            rng.uniform(-0.5, 0.5, (V, 3)).astype(np.float32)))
+
+    def run(params):
+        return mlp.apply(params, xyz, knn_points, point_norms, knn_idxs,
+                         **kwargs)
+
+    old = _ops.VERTAGG_BACKEND
+    try:
+        _ops.set_vertagg_backend("pallas")
+        out_k = run(params)
+        g_k = jax.grad(lambda p: jnp.sum(run(p) ** 2))(params)
+        _ops.set_vertagg_backend("xla")
+        out_x = run(params)
+        g_x = jax.grad(lambda p: jnp.sum(run(p) ** 2))(params)
+    finally:
+        _ops.VERTAGG_BACKEND = old
+
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x),
+                               rtol=1e-4, atol=1e-4)
+    flat_k, tree_k = jax.tree_util.tree_flatten(g_k)
+    flat_x, tree_x = jax.tree_util.tree_flatten(g_x)
+    assert tree_k == tree_x
+    for a, b in zip(flat_k, flat_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
