@@ -264,12 +264,15 @@ class OccNeRFCanonicalMLP:
                                              vert_feat.shape[1],
                                              flat_idx.shape[1]) else "xla")
         if backend == "pallas":
-            # the attention lane is a flat 1-D take (fast gather path);
-            # the 36-lane aggregation and its table gradient run as
-            # one-hot MXU matmuls — no (N*K, 36) gather/scatter at all
-            knn_att = jax.lax.stop_gradient(
-                jnp.take(vert_feat[:, 0], flat_idx.reshape(-1))
-                .reshape(flat_idx.shape))                        # (N,4k)
+            # attention lane via the vectorized ROW gather + e0 contraction
+            # under stop_gradient — a 1-D scalar take of col 0 lowers to
+            # the ~7 ns/element scalar loop (measured +160 ms/step), and
+            # the detached row gather has no scatter backward; the 36-lane
+            # aggregation and its table gradient then run as one-hot MXU
+            # matmuls, so the scatter-add VJP disappears entirely
+            g_sg = jax.lax.stop_gradient(vert_feat)[flat_idx]    # (N,4k,36)
+            e0 = jnp.zeros((g_sg.shape[-1],), g_sg.dtype).at[0].set(1.0)
+            knn_att = jnp.einsum("nkc,c->nk", g_sg, e0)          # (N,4k)
             atts_sm, var = self._att_normalize(knn_att)
             agg36 = _vertagg.knn_weighted_agg(
                 vert_feat, flat_idx, jax.lax.stop_gradient(atts_sm),
