@@ -1,4 +1,4 @@
-"""Pallas TPU kernel for the KNN vertex-feature weighted aggregation.
+"""Scatter-free backward for the KNN vertex-feature weighted aggregation.
 
 The OccNeRF canonical MLP gathers a 36-lane per-vertex feature row for
 each of the 4x10 multiscale neighbours of every sample and reduces them
@@ -7,34 +7,32 @@ with detached visibility-attention weights (reference
 
     agg[n, c] = sum_k atts[n, k] * table[idx[n, k], c]
 
-On TPU the straightforward gather+einsum pays twice: the (N*K, C)
-neighbour gather materializes ~1M rows per ray chunk, and its VJP is an
-XLA scatter-add into the small (V, C) table that costs ~5 ms per chunk
-(~80 ms of a reference-scale train step — the single largest non-kernel
-op in the profile).
-
-Because the attention weights are stop-gradient'd, the cotangent of the
-gathered block is RANK-ONE in (k, c): d gathered[n,k,c] = atts[n,k] *
-d agg[n,c].  Both directions therefore collapse onto one attention-
-weighted one-hot matrix
+The FORWARD is cheap on TPU — vectorized row gathers move whole 36-lane
+rows (~1 ms per ray chunk measured) — so it stays on XLA.  The VJP is
+the problem: XLA lowers the scatter-add into the small (V, C) table to
+~5 ms per chunk (~80 ms of a reference-scale train step, the largest
+non-kernel op in the profile).  Because the attention weights are
+stop-gradient'd, the cotangent of the gathered block is RANK-ONE in
+(k, c): d gathered[n,k,c] = atts[n,k] * d agg[n,c], so the whole
+per-block table gradient collapses onto one attention-weighted one-hot
+matrix
 
     W[n, v] = sum_k atts[n, k] * [idx[n, k] == v]          (Q, Vp)
+    dT      = W^T @ d agg                                  (MXU matmul)
 
-built with K VPU passes per query block, giving
+built with K VPU compare/fma passes per query block — ~3x cheaper than
+the scatter it replaces, and exactly the transposed forward (matches
+the AD oracle to reassociation).
 
-    agg = W @ table            (MXU, forward)
-    dT  = W^T @ d agg          (MXU, backward — no scatter at all)
+Earlier attempts, kept here as measured guidance: a Pallas FORWARD
+(W @ table) re-paid the W build in the forward AND its remat recompute
+(9.5k -> 9.1k rays/s), and extracting the attention lane with a 1-D
+scalar take cost +160 ms/step (TPU scalar-gathers ~7 ns/element) —
+row gathers and e0 contractions are the fast idioms.
 
-Cost per query block: K * Q * Vp VPU ops to build W plus Q * Vp * C MXU
-MACs — for V <= MAX_V (padded) this is ~5x cheaper than the gather/
-scatter pair it replaces.  The W build scales with V, so large clouds
-(real-SMPL 6890-vertex subjects concat to ~9k rows) stay on the XLA
-path via :func:`supports`.
-
-Numerics: the forward accumulates the K attention contributions into W
-in float32 BEFORE the table multiply, so it matches the XLA
-gather+einsum to reassociation (~1e-6); the backward dT is exactly the
-transposed forward.  Gradients flow to the table only — callers
+The W build scales with V, so large clouds (real-SMPL 6890-vertex
+subjects concat to ~9k rows) stay entirely on the XLA path via
+:func:`supports`.  Gradients flow to the table only — callers
 stop-gradient ``atts`` (the reference detaches the softmax) and ``idx``
 is integral.
 """
@@ -70,12 +68,12 @@ def supports(n_rows: int, n_feat: int, k: int) -> bool:
     return vp <= MAX_V and n_feat <= LANES and k <= LANES
 
 
-def _col_f(ref, k, width):
+def _col_f(ref, k):
     lane = jax.lax.broadcasted_iota(jnp.int32, ref.shape, 1)
     return jnp.sum(jnp.where(lane == k, ref[:], 0.0), axis=1, keepdims=True)
 
 
-def _col_i(ref, k, width):
+def _col_i(ref, k):
     lane = jax.lax.broadcasted_iota(jnp.int32, ref.shape, 1)
     return jnp.sum(jnp.where(lane == k, ref[:], 0), axis=1, keepdims=True)
 
@@ -86,17 +84,11 @@ def _build_w(idx_ref, att_ref, vp, K):
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (q, vp), 1)
 
     def body(k, W):
-        iv = _col_i(idx_ref, k, K)                     # (Q, 1) int32
-        av = _col_f(att_ref, k, K)                     # (Q, 1) f32
+        iv = _col_i(idx_ref, k)                        # (Q, 1) int32
+        av = _col_f(att_ref, k)                        # (Q, 1) f32
         return W + av * (row_iota == iv).astype(jnp.float32)
 
     return jax.lax.fori_loop(0, K, body, jnp.zeros((q, vp), jnp.float32))
-
-
-def _fwd_kernel(cdt, vp, K, idx_ref, att_ref, tbl_ref, out_ref):
-    W = _build_w(idx_ref, att_ref, vp, K)
-    out_ref[:] = jnp.dot(W.astype(cdt), tbl_ref[:].astype(cdt),
-                         preferred_element_type=jnp.float32)
 
 
 def _bwd_kernel(cdt, vp, K, idx_ref, att_ref, g_ref, dtbl_ref):
@@ -113,7 +105,8 @@ def _bwd_kernel(cdt, vp, K, idx_ref, att_ref, g_ref, dtbl_ref):
 
 def knn_weighted_agg(table: jnp.ndarray, idx: jnp.ndarray,
                      atts: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
-    """``sum_k atts[n,k] * table[idx[n,k]]`` as one-hot MXU matmuls.
+    """``sum_k atts[n,k] * table[idx[n,k]]`` — XLA row-gather forward,
+    one-hot MXU matmul (scatter-free) table gradient.
 
     Args:
         table: (V, C) per-vertex feature rows (C <= 128); receives the
@@ -122,10 +115,8 @@ def knn_weighted_agg(table: jnp.ndarray, idx: jnp.ndarray,
         atts: (N, K) detached aggregation weights; NO gradient flows to
             them (the reference stop-gradients the attention softmax) —
             callers must stop-gradient, matching `occnerf_mlp.py:120`.
-        compute_dtype: per-call matmul input dtype (None = module
-            default).  W entries are attention sums — bfloat16 rounds
-            them AND the features to 8 mantissa bits; keep float32 for
-            the differentiable train pass.
+        compute_dtype: matmul input dtype of the backward (None = module
+            default; keep float32 for the differentiable train pass).
 
     Returns:
         (N, C) aggregated features.
@@ -139,48 +130,25 @@ def _agg(dtk, table, idx, atts):
     return _agg_fwd(dtk, table, idx, atts)[0]
 
 
-def _pad_inputs(table, idx, atts):
-    V, C = table.shape
-    vp = -(-V // LANES) * LANES
-    tbl = jnp.pad(table, ((0, vp - V), (0, 0)))
-    n = idx.shape[0]
-    pad = (-n) % Q_BLK
-    if pad:
-        idx = jnp.pad(idx, ((0, pad), (0, 0)), constant_values=-1)
-        atts = jnp.pad(atts, ((0, pad), (0, 0)))
-    return tbl, idx, atts, vp, n
-
-
 def _agg_fwd(dtk, table, idx, atts):
-    cdt = _DTYPES_[dtk]
-    V, C = table.shape
-    K = idx.shape[1]
-    tbl, idxp, attsp, vp, n = _pad_inputs(table, idx, atts)
-    nblk = idxp.shape[0] // Q_BLK
-
-    qspec = pl.BlockSpec((Q_BLK, K), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        functools.partial(_fwd_kernel, cdt, vp, K),
-        grid=(nblk,),
-        in_specs=[qspec, qspec,
-                  pl.BlockSpec((vp, C), lambda i: (0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((Q_BLK, C), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((idxp.shape[0], C), jnp.float32),
-        interpret=_interpret(),
-    )(idxp, attsp, tbl)
-    return out[:n], (table, idx, atts)
+    # vectorized row gather + einsum: the fast XLA idiom (whole 36-lane
+    # rows per index; ~1 ms/chunk measured at reference scale)
+    out = jnp.einsum("nk,nkc->nc", atts, table[idx])
+    return out, (table, idx, atts)
 
 
 def _agg_bwd(dtk, res, g):
     cdt = _DTYPES_[dtk]
     table, idx, atts = res
     V, C = table.shape
-    K = idx.shape[1]
-    _, idxp, attsp, vp, n = _pad_inputs(table, idx, atts)
-    gp = jnp.pad(g, ((0, idxp.shape[0] - n), (0, 0)))
+    n, K = idx.shape
+    vp = -(-V // LANES) * LANES
+    pad = (-n) % Q_BLK
+    idxp, attsp, gp = idx, atts, g
+    if pad:
+        idxp = jnp.pad(idx, ((0, pad), (0, 0)), constant_values=-1)
+        attsp = jnp.pad(atts, ((0, pad), (0, 0)))
+        gp = jnp.pad(g, ((0, pad), (0, 0)))
     nblk = idxp.shape[0] // Q_BLK
 
     qspec = pl.BlockSpec((Q_BLK, K), lambda i: (i, 0),
@@ -197,7 +165,7 @@ def _agg_bwd(dtk, res, g):
         interpret=_interpret(),
     )(idxp, attsp, gp)
     return (dtbl[:V],
-            np.zeros(idx.shape, dtype=jax.dtypes.float0),
+            np.zeros((n, K), dtype=jax.dtypes.float0),
             jnp.zeros_like(atts))
 
 
