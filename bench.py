@@ -64,8 +64,9 @@ def main() -> None:
                            n_verts=1024, seed=0)
 
     # the SHIPPED TPU recipe (hash cap 14 -> MXU one-hot kernel,
-    # compaction 0.375 + two-pass motion sampling, train_chunk 1024) —
-    # overridden only with the synthetic data source and muted logging
+    # compaction 0.375 + proxy-ranked two-pass motion sampling,
+    # train_chunk 512) — overridden only with the synthetic data source
+    # and muted logging
     c = init_cfg("configs/occnerf/zju_mocap/387/occnerf_tpu.yaml", [
         "train.dataset", "synthetic_train",   # no licensed ZJU data in env
         "tpose.dataset", "synthetic_test",    # render-metric camera source
