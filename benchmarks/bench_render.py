@@ -46,6 +46,8 @@ def main() -> None:
     ap.add_argument("--proxy", action="store_true",
                     help="rank compaction with the half-res upper-bound "
                          "volume (tpu.motion_rank_proxy)")
+    ap.add_argument("--knn-recall", type=float, default=0.95,
+                    help="approx_max_k recall target (tpu.knn_recall)")
     args = ap.parse_args()
 
     c = get_default_cfg()
@@ -58,6 +60,7 @@ def main() -> None:
     c.tpu.eval_chunk = args.eval_chunk
     c.tpu.eval_compute_dtype = args.eval_dtype
     c.tpu.motion_rank_proxy = args.proxy
+    c.tpu.knn_recall = args.knn_recall
     c.logdir = os.path.join(tmp, "logs")
     set_cfg(c)
 
@@ -93,7 +96,8 @@ def main() -> None:
           f"{dt * 1000:.0f} ms -> {n_rays / dt:.0f} rays/s/chip "
           f"(512x512 tpose camera, occnerf MLP, eval_chunk "
           f"{args.eval_chunk}, compaction {args.compaction}, "
-          f"eval_dtype {args.eval_dtype}, proxy {args.proxy})")
+          f"eval_dtype {args.eval_dtype}, proxy {args.proxy}, "
+          f"knn_recall {args.knn_recall})")
 
 
 if __name__ == "__main__":
