@@ -82,14 +82,14 @@ def main() -> None:
         fwd = jax.jit(lambda xx, t, enc=enc, spec=spec:
                       jnp.sum(enc(xx, t, spec)))
         t_fwd = _time(fwd, x, table)
+        print(f"{name}: table {spec.table_size} rows | "
+              f"fwd {t_fwd*1e3:.0f} ms ({args.n} samples)", flush=True)
 
         bwd = jax.jit(lambda t, xx, enc=enc, spec=spec: jnp.sum(jax.grad(
             lambda tt: jnp.sum(enc(xx, tt, spec) ** 2))(t) ** 2))
         t_bwd = _time(bwd, table, x)
-
         print(f"{name}: table {spec.table_size} rows | "
-              f"fwd {t_fwd*1e3:.0f} ms | fwd+bwd {t_bwd*1e3:.0f} ms "
-              f"({args.n} samples)", flush=True)
+              f"fwd+bwd {t_bwd*1e3:.0f} ms ({args.n} samples)", flush=True)
 
 
 if __name__ == "__main__":

@@ -48,6 +48,9 @@ def main() -> None:
                          "volume (tpu.motion_rank_proxy)")
     ap.add_argument("--knn-recall", type=float, default=0.95,
                     help="approx_max_k recall target (tpu.knn_recall)")
+    ap.add_argument("--dump", default=None, metavar="OUT.npy",
+                    help="save the rendered rgb rays to OUT.npy so arms "
+                         "(e.g. bf16 vs f32) can be diffed for quality")
     args = ap.parse_args()
 
     c = get_default_cfg()
@@ -98,6 +101,9 @@ def main() -> None:
           f"{args.eval_chunk}, compaction {args.compaction}, "
           f"eval_dtype {args.eval_dtype}, proxy {args.proxy}, "
           f"knn_recall {args.knn_recall})")
+    if args.dump:
+        np.save(args.dump, np.asarray(rgb, dtype=np.float32))
+        print(f"rgb dumped to {args.dump}")
 
 
 if __name__ == "__main__":

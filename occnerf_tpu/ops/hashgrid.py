@@ -264,23 +264,44 @@ def _segmented_sums(keys: jnp.ndarray, vals: jnp.ndarray, n_rows: int
     return jnp.where((right > left)[:, None], scan[seg_end], 0.0)
 
 
+def _sorted_level_grads(keys_lvls, vals_lvls, spec: HashGridSpec
+                        ) -> jnp.ndarray:
+    """Per-level sorted segment-sums, batched into ONE sort.
+
+    ``keys_lvls``: L arrays (M,) of level-LOCAL row ids; ``vals_lvls``:
+    L arrays (M, C).  Levels are stacked on a leading axis and sorted in
+    a single batched `lax.sort` along the last axis — L separate sort
+    ops at 2^19 scale produce a program large enough to OOM the AOT
+    compiler (observed: tpu_compile_helper SIGKILL at L=16, M=6.3M),
+    and one batched sort is faster anyway.  Segment sums run vmapped at
+    the max level size; each level's rows are then sliced out.
+    """
+    L, C = spec.num_levels, vals_lvls[0].shape[-1]
+    keys = jnp.stack(keys_lvls)                           # (L, M)
+    vals = jnp.stack(vals_lvls)                           # (L, M, C)
+    keys, *cols = jax.lax.sort(
+        (keys, *(vals[..., c] for c in range(C))), num_keys=1)
+    vals = jnp.stack(cols, axis=-1)
+    hsizes = [spec.offsets[l + 1] - spec.offsets[l] for l in range(L)]
+    hmax = max(hsizes)
+    seg = jax.vmap(lambda k, v: _segmented_sums(k, v, hmax))(keys, vals)
+    return jnp.concatenate(
+        [seg[l, :hsizes[l]] for l in range(L)], axis=0)   # (table_size, C)
+
+
 def _table_grad_sorted(x: jnp.ndarray, oob: jnp.ndarray, g: jnp.ndarray,
                        spec: HashGridSpec) -> jnp.ndarray:
     """d(loss)/d(table) from upstream feature grads ``g`` (N, L*C)."""
     C = spec.level_dim
     g = jnp.where(oob[:, None], 0.0, g)
-    grads = []
+    keys_lvls, vals_lvls = [], []
     for lvl in range(spec.num_levels):
         idx, w = _level_corner_indices(x, spec, lvl)      # (2^D, N) each
         g_lvl = g[:, lvl * C:(lvl + 1) * C]               # (N, C)
         contrib = (w[..., None] * g_lvl[None, :, :]).reshape(-1, C)
-        keys = idx.reshape(-1)
-        keys, *cols = jax.lax.sort(
-            (keys, *(contrib[:, c] for c in range(C))), num_keys=1)
-        vals = jnp.stack(cols, axis=-1)
-        hsize = spec.offsets[lvl + 1] - spec.offsets[lvl]
-        grads.append(_segmented_sums(keys, vals, hsize))
-    return jnp.concatenate(grads, axis=0)                 # (table_size, C)
+        keys_lvls.append(idx.reshape(-1))
+        vals_lvls.append(contrib)
+    return _sorted_level_grads(keys_lvls, vals_lvls, spec)
 
 
 import functools
@@ -354,7 +375,7 @@ def grad_total_variation(inputs: jnp.ndarray, table: jnp.ndarray,
     w = weight / (2 * D)
     zero_bits = np.zeros((D,), np.int32)
 
-    grads = []
+    keys_lvls, vals_lvls = [], []
     for lvl in range(spec.num_levels):
         res = spec.resolutions[lvl]
         pos_grid, _ = _level_cells(xc, spec, lvl)               # (D, N)
@@ -383,10 +404,6 @@ def grad_total_variation(inputs: jnp.ndarray, table: jnp.ndarray,
 
         val = w * results * jax.lax.rsqrt(idelta + 1e-9)
         val = jnp.where(oob[:, None], 0.0, val)
-
-        keys, *cols = jax.lax.sort(
-            (anchor, *(val[:, c] for c in range(C))), num_keys=1)
-        vals = jnp.stack(cols, axis=-1)
-        hsize = spec.offsets[lvl + 1] - spec.offsets[lvl]
-        grads.append(_segmented_sums(keys, vals, hsize))
-    return jnp.concatenate(grads, axis=0)
+        keys_lvls.append(anchor)
+        vals_lvls.append(val)
+    return _sorted_level_grads(keys_lvls, vals_lvls, spec)
