@@ -9,11 +9,29 @@ rays x 128 samples = 786,432 point queries through the full OccNeRF
 pipeline — inverse-LBS motion field, multiscale KNN, hash-grid canonical
 MLP, volume compositing, LPIPS+MSE+completeness loss, clipped Adam update.
 
+Two arms:
+- HEADLINE: a 6,890-vertex subject — the reference's only point-cloud
+  configuration (`core/nets/occnerf/network.py:94-118` always builds the
+  cloud from the 6,890 SMPL vertices; the FPS pyramid 1722/430/107
+  follows from ratio 1/4).  This is the honest number.
+- secondary: the 1,024-vertex toy cloud earlier rounds reported, kept
+  for cross-round comparability (fields prefixed ``v1024_``).
+
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...}.
 The reference publishes NO benchmark numbers (BASELINE.md: published={}),
 so the honest statement is the raw rays/s and s/step; ``vs_baseline``
 compares against an ESTIMATED anchor (~0.55 iter/s per 2080 Ti, from the
 HumanNeRF-lineage 4-GPU rig note) and is labeled as such via ``anchor``.
+
+Also emits ``flops_per_step`` / ``mfu``: an ANALYTIC executed-FLOP count
+of the MXU-dominant kernels (motion tent matmuls, hash-grid one-hot
+matmuls, vertagg one-hot backward, KNN distance matmuls, MLP stacks)
+divided by measured step time and the v5e bf16 peak (197 TFLOP/s).  XLA's
+``cost_analysis()`` can't see inside Pallas custom calls and doesn't
+multiply ``lax.map`` trip counts, so the analytic count is the usable
+figure; it EXCLUDES elementwise/VPU work and the small XLA-side gathers
+(per-vertex encode, compositing, LPIPS), i.e. it is a mild underestimate
+of executed work.
 """
 
 from __future__ import annotations
@@ -26,11 +44,180 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+V5E_BF16_PEAK = 197e12
+
+
+def estimate_step_flops(c, v_base: int) -> float:
+    """Analytic executed-FLOP estimate of one train step's MXU work under
+    the shipped recipe (proxy-ranked two-pass compaction, remat policy
+    saving knn_idx/hash_enc/motion_w/rank_perm, inert pose refiner =>
+    motion coordinate-grad kernel DCE'd, inert non-rigid offset)."""
+    n_rays = c.patch.N_patches * c.patch.size ** 2
+    S = c.N_samples
+    N = n_rays * S
+    chunk = int(c.tpu.train_chunk)
+    nb = max(1, n_rays // chunk)
+    ns_chunk = (n_rays // nb) * S
+    frac = float(c.tpu.sample_compaction)
+    kc = min(ns_chunk, -(-int(ns_chunk * frac) // 512) * 512)
+    K = kc * nb                       # kept samples per step
+    B = int(c.total_bones)
+    cm = c.canonical_mlp
+    L = int(cm.num_levels)
+    D = 4                             # (surface point, signed dist)
+    corners = 1 << D
+    E = 2 ** min(int(cm.log2_hashmap_size), 19)
+    width = int(cm.mlp_width)
+    depth = int(cm.mlp_depth)
+
+    f = 0.0
+    # motion-field tent matmuls: (Q, side^2) x (side^2, 128) per bone
+    def motion(nq, side):
+        return 2.0 * nq * B * side * side * 128
+
+    compact = frac < 1.0
+    if compact and bool(c.tpu.motion_rank_proxy):
+        f += motion(N, 16)            # half-res proxy ranking, no grad
+        f += 2 * motion(K, 32)        # exact kept pass fwd + dT bwd
+    elif compact:
+        f += motion(N, 32)            # exact full-N ranking (no grad)
+        f += 2 * motion(K, 32)
+    else:
+        K = N
+        f += 3 * motion(N, 32)        # fwd + recompute-free bwd (saved)
+
+    # per-sample hash encode (Pallas one-hot matmuls when the table is
+    # kernel-capped; the sorted/XLA backends are gathers — no MXU flops)
+    if int(cm.log2_hashmap_size) <= 15 and int(cm.level_dim) == 2:
+        enc = 2.0 * K * L * corners * (E // 64) * 128
+        f += 2 * enc                  # fwd (saved under remat) + bwd
+
+    # vertagg one-hot backward: per scale group, build (2*Q*k*Vp) +
+    # matmul (2*Q*Vp*C) — C = 36 feature lanes, k = 10 neighbours
+    sizes = [v_base] + [max(1, int(v_base * 0.25 ** (i + 1)))
+                        for i in range(3)]
+    k = 10
+    for vg in sizes:
+        v_blk = min(1024, -(-vg // 128) * 128)
+        vp = -(-vg // v_blk) * v_blk
+        f += 2.0 * K * vp * (k + 36)
+
+    # multiscale KNN distance matmuls (kept samples x concat cloud) +
+    # per-ray termination KNN
+    vc = sum(sizes)
+    f += 2.0 * K * vc * 3
+    f += 2.0 * n_rays * v_base * 3
+
+    # canonical MLP stacks: fwd + remat recompute + 2x bwd = 4x fwd MAC
+    enc_dim = L * int(cm.level_dim)
+    feat = enc_dim + 3
+    geo_in = feat + 1 + enc_dim
+    rgb_in = 64 + feat + enc_dim
+    mac = (geo_in * width + (depth - 1) * width * width + width * 65
+           + rgb_in * width + (depth - 1) * width * width + width * 3)
+    f += 4.0 * K * 2.0 * mac
+    return f
+
+
+def _measure_arm(subject_path: str, extra_opts, measure_render: bool):
+    import jax
+    import numpy as np
+    from occnerf_tpu.config import cfg, init_cfg
+
+    tmp = tempfile.mkdtemp()
+    c = init_cfg("configs/occnerf/zju_mocap/387/occnerf_tpu.yaml", [
+        "train.dataset", "synthetic_train",   # no licensed ZJU data in env
+        "tpose.dataset", "synthetic_test",    # render-metric camera source
+        "synthetic_dataset_path", subject_path,
+        "progress.dump_interval", "1000000000",
+        "train.save_checkpt_interval", "1000000000",
+        "train.log_interval", "1000000000",
+    ] + list(extra_opts))
+    c.logdir = os.path.join(tmp, "logs")  # logdir is derived; redirect
+
+    from occnerf_tpu.app import build_model
+    from occnerf_tpu.data import create_dataloader
+    from occnerf_tpu.train import create_trainer
+
+    loader = create_dataloader("train")
+    network, statics, params, state = build_model(loader.dataset.subject)
+    trainer = create_trainer(network, statics, params, state)
+    v_base = int(statics["point_base"].shape[0])
+
+    batches = []
+    it = iter(loader)
+    for _ in range(4):
+        batches.append(next(it))
+
+    def _sync():
+        # force a host fetch: on the axon tunnel block_until_ready can
+        # return before execution finishes (verify-skill gotcha); reading
+        # a value cannot
+        leaf = jax.tree.leaves(trainer.params)[0]
+        return float(np.asarray(leaf).ravel()[0])
+
+    # compile + warmup
+    trainer.train_step(batches[0])
+    _sync()
+
+    n_iters = 20
+    t0 = time.time()
+    for i in range(n_iters):
+        trainer.train_step(batches[i % len(batches)])
+    _sync()
+    dt = (time.time() - t0) / n_iters
+
+    rays = cfg.patch.N_patches * cfg.patch.size ** 2
+    flops = estimate_step_flops(cfg, v_base)
+    out = {
+        "rays_per_sec": round(rays / dt, 1),
+        "sec_per_iter": round(dt, 4),
+        "n_verts": v_base,
+        "flops_per_step": flops,
+        "mfu": round(flops / dt / V5E_BF16_PEAK, 4),
+    }
+
+    if measure_render:
+        # the north star's second metric: no-grad render throughput at
+        # the 512x512 tpose camera (guarded — a render failure must not
+        # cost the train metric)
+        try:
+            from occnerf_tpu.data import create_dataset
+            from occnerf_tpu.train.trainer import _device_batch
+
+            ds = create_dataset("tpose")
+            rbatch = _device_batch(ds[0])
+            n_rays = int(rbatch["rays"].shape[1])
+
+            @jax.jit
+            def render(params, state, batch):
+                o, _ = network.forward(params, statics, state, batch, 1e7,
+                                       training=False, perturb=0.0,
+                                       ignore_non_rigid=True)
+                return o["rgb"]
+
+            rgb = render(trainer.params, trainer.state, rbatch)
+            _ = float(rgb[0, 0])
+            rts = []
+            for _i in range(3):
+                rt0 = time.time()
+                rgb = render(trainer.params, trainer.state, rbatch)
+                _ = float(rgb[123, 1])
+                rts.append(time.time() - rt0)
+            rdt = sorted(rts)[len(rts) // 2]
+            out.update({
+                "render_rays_per_sec": round(n_rays / rdt, 1),
+                "render_sec_per_frame": round(rdt, 3),
+            })
+        except Exception as e:  # pragma: no cover - chip-env guard
+            out.update({"render_rays_per_sec": None,
+                        "render_error": f"{type(e).__name__}: {e}"[:200]})
+    return out
+
 
 def main() -> None:
     from occnerf_tpu.utils.platform import ensure_platform
     ensure_platform()  # honor JAX_PLATFORMS before backend init
-    import jax
 
     # a registered-but-unreachable TPU plugin (axon tunnel outage) makes
     # backend init hang or hard-fail; probe it in a time-bounded child
@@ -55,117 +242,52 @@ def main() -> None:
             "error": f"device backend unavailable: {probe_err}"}))
         return
 
-    from occnerf_tpu.config import cfg, init_cfg
+    import jax
     from occnerf_tpu.data.synthetic import make_synthetic_subject
+    from occnerf_tpu.metrics.lpips import LPIPS
 
     tmp = tempfile.mkdtemp()
-    subject_path = os.path.join(tmp, "subject")
-    make_synthetic_subject(subject_path, n_frames=4, img_size=512,
+    extra = sys.argv[1:]   # extra "key value" pairs for knob sweeps
+
+    # HEADLINE: reference-scale subject (6,890 verts like the SMPL mesh)
+    subj_ref = os.path.join(tmp, "subject_6890")
+    make_synthetic_subject(subj_ref, n_frames=4, img_size=512,
+                           n_verts=6890, seed=0)
+    head = _measure_arm(subj_ref, extra, measure_render=True)
+
+    # secondary: the toy cloud earlier rounds reported (comparability)
+    subj_toy = os.path.join(tmp, "subject_1024")
+    make_synthetic_subject(subj_toy, n_frames=4, img_size=512,
                            n_verts=1024, seed=0)
+    toy = _measure_arm(subj_toy, extra, measure_render=False)
 
-    # the SHIPPED TPU recipe (hash cap 14 -> MXU one-hot kernel,
-    # compaction 0.375 + proxy-ranked two-pass motion sampling,
-    # train_chunk 512) — overridden only with the synthetic data source
-    # and muted logging
-    c = init_cfg("configs/occnerf/zju_mocap/387/occnerf_tpu.yaml", [
-        "train.dataset", "synthetic_train",   # no licensed ZJU data in env
-        "tpose.dataset", "synthetic_test",    # render-metric camera source
-        "synthetic_dataset_path", subject_path,
-        "progress.dump_interval", "1000000000",
-        "train.save_checkpt_interval", "1000000000",
-        "train.log_interval", "1000000000",
-    ] + sys.argv[1:])   # extra "key value" pairs for knob sweeps
-    c.logdir = os.path.join(tmp, "logs")  # logdir is derived; redirect
-
-    from occnerf_tpu.app import build_model
-    from occnerf_tpu.data import create_dataloader
-    from occnerf_tpu.metrics.lpips import LPIPS
-    from occnerf_tpu.train import create_trainer
-
-    loader = create_dataloader("train")
-    network, statics, params, state = build_model(loader.dataset.subject)
-    trainer = create_trainer(network, statics, params, state)
-
-    batches = []
-    it = iter(loader)
-    for _ in range(4):
-        batches.append(next(it))
-
-    def _sync():
-        # force a host fetch: on the axon tunnel block_until_ready can
-        # return before execution finishes (verify-skill gotcha); reading
-        # a value cannot
-        import numpy as _np
-        leaf = jax.tree.leaves(trainer.params)[0]
-        return float(_np.asarray(leaf).ravel()[0])
-
-    # compile + warmup
-    trainer.train_step(batches[0])
-    _sync()
-
-    n_iters = 20
-    t0 = time.time()
-    for i in range(n_iters):
-        trainer.train_step(batches[i % len(batches)])
-    _sync()
-    dt = (time.time() - t0) / n_iters
-
-    rays = cfg.patch.N_patches * cfg.patch.size ** 2
-    rays_per_s = rays / dt
-    iters_per_s = 1.0 / dt
     # ESTIMATED anchor (no published number exists): ~2.2 iter/s for the
     # reference's 4x2080Ti rig -> ~0.55 iter/s per GPU; the ratio
     # compares one TPU chip against one reference GPU
     baseline_iters_per_s = 2.2 / 4.0
-
-    # the north star's second metric: no-grad render throughput at the
-    # 512x512 tpose camera (guarded — a render failure must not cost the
-    # train metric)
-    render_fields = {}
-    try:
-        from occnerf_tpu.data import create_dataset
-        from occnerf_tpu.train.trainer import _device_batch
-
-        ds = create_dataset("tpose")
-        rbatch = _device_batch(ds[0])
-        n_rays = int(rbatch["rays"].shape[1])
-
-        @jax.jit
-        def render(params, state, batch):
-            out, _ = network.forward(params, statics, state, batch, 1e7,
-                                     training=False, perturb=0.0,
-                                     ignore_non_rigid=True)
-            return out["rgb"]
-
-        rgb = render(trainer.params, trainer.state, rbatch)
-        _ = float(rgb[0, 0])
-        rts = []
-        for _i in range(3):
-            rt0 = time.time()
-            rgb = render(trainer.params, trainer.state, rbatch)
-            _ = float(rgb[123, 1])
-            rts.append(time.time() - rt0)
-        rdt = sorted(rts)[len(rts) // 2]
-        render_fields = {
-            "render_rays_per_sec": round(n_rays / rdt, 1),
-            "render_sec_per_frame": round(rdt, 3),
-        }
-    except Exception as e:  # pragma: no cover - chip-env guard
-        render_fields = {"render_rays_per_sec": None,
-                         "render_error": f"{type(e).__name__}: {e}"[:200]}
+    iters_per_s = 1.0 / head["sec_per_iter"]
 
     print(json.dumps({
         "metric": "train_rays_per_sec_per_chip",
-        "value": round(rays_per_s, 1),
-        "unit": "rays/s (6x32x32 patches x 128 samples, full train step)",
+        "value": head["rays_per_sec"],
+        "unit": "rays/s (6x32x32 patches x 128 samples, full train step, "
+                "6890-vert subject)",
         "vs_baseline": round(iters_per_s / baseline_iters_per_s, 3),
         "anchor": "estimated (reference publishes no numbers; "
                   "0.55 iter/s per 2080 Ti assumed)",
-        "sec_per_iter": round(dt, 4),
+        "sec_per_iter": head["sec_per_iter"],
+        "n_verts": head["n_verts"],
+        "flops_per_step": round(head["flops_per_step"] / 1e12, 3),
+        "flops_unit": "TFLOP (analytic, MXU kernels only)",
+        "mfu": head["mfu"],
+        "mfu_peak_basis": "v5e bf16 197 TFLOP/s",
         "config": "configs/occnerf/zju_mocap/387/occnerf_tpu.yaml",
         "n_devices": len(jax.devices()),
         "lpips_weights": LPIPS.weights_mode(),
-        **render_fields,
+        "render_rays_per_sec": head.get("render_rays_per_sec"),
+        "render_sec_per_frame": head.get("render_sec_per_frame"),
+        "v1024_rays_per_sec": toy["rays_per_sec"],
+        "v1024_sec_per_iter": toy["sec_per_iter"],
     }))
 
 

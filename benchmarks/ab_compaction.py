@@ -28,6 +28,9 @@ def run_arm(subject_path: str, compaction: float, iters: int,
             seed: int, log2_hashmap: int = 14,
             rank_dtype: str = "float32",
             eval_dtype: str = "float32",
+            knn_recall: float = 0.95,
+            compute_dtype: str = "float32",
+            lpips_weight: float | None = None,
             proxy: bool = False) -> dict:
     import numpy as np
 
@@ -46,6 +49,10 @@ def run_arm(subject_path: str, compaction: float, iters: int,
     c.tpu.motion_rank_proxy = proxy
     c.tpu.rank_compute_dtype = rank_dtype
     c.tpu.eval_compute_dtype = eval_dtype
+    c.tpu.knn_recall = knn_recall
+    c.tpu.compute_dtype = compute_dtype
+    if lpips_weight is not None:
+        c.train.lossweights.lpips = lpips_weight
     c.tpu.train_chunk = 512
     c.train.maxiter = iters
     c.train.log_interval = 100
@@ -82,7 +89,8 @@ def run_arm(subject_path: str, compaction: float, iters: int,
     means.update({"compaction": compaction, "iters": iters, "seed": seed,
                   "log2_hashmap": log2_hashmap,
                   "rank_dtype": rank_dtype, "eval_dtype": eval_dtype,
-                  "proxy": proxy,
+                  "knn_recall": knn_recall, "compute_dtype": compute_dtype,
+                  "lpips_weight": lpips_weight, "proxy": proxy,
                   "wall_sec": round(wall, 1),
                   "sec_per_iter": round(wall / max(iters, 1), 3)})
     return means
@@ -108,6 +116,18 @@ def main() -> None:
     ap.add_argument("--eval-dtype", default="float32",
                     choices=("float32", "bfloat16"),
                     help="tpu.eval_compute_dtype for every arm")
+    ap.add_argument("--knn-recall", type=float, default=0.95,
+                    help="tpu.knn_recall for every arm")
+    ap.add_argument("--compute-dtype", default="float32",
+                    choices=("float32", "bfloat16"),
+                    help="tpu.compute_dtype for every arm")
+    ap.add_argument("--lpips-weight", type=float, default=None,
+                    help="override train.lossweights.lpips (0 = pure "
+                         "MSE+completeness loss-robustness check)")
+    ap.add_argument("--n-verts", type=int, default=1024)
+    ap.add_argument("--texture-freq", type=float, default=7.0,
+                    help="synthetic texture spatial frequency (>= 50 "
+                         "stresses hash-table collisions)")
     ap.add_argument("--img-size", type=int, default=512)
     ap.add_argument("--frames", type=int, default=8)
     args = ap.parse_args()
@@ -115,8 +135,8 @@ def main() -> None:
     from occnerf_tpu.data.synthetic import make_synthetic_subject
     subject_path = os.path.join(tempfile.mkdtemp(), "subject")
     make_synthetic_subject(subject_path, n_frames=args.frames,
-                           img_size=args.img_size, n_verts=1024,
-                           seed=args.seed)
+                           img_size=args.img_size, n_verts=args.n_verts,
+                           seed=args.seed, texture_freq=args.texture_freq)
 
     for log2 in [int(a) for a in args.log2.split(",")]:
         for arm in [float(a) for a in args.arms.split(",")]:
@@ -124,6 +144,9 @@ def main() -> None:
                           log2_hashmap=log2,
                           rank_dtype=args.rank_dtype,
                           eval_dtype=args.eval_dtype,
+                          knn_recall=args.knn_recall,
+                          compute_dtype=args.compute_dtype,
+                          lpips_weight=args.lpips_weight,
                           proxy=args.proxy)
             print("AB_RESULT " + json.dumps(res), flush=True)
 

@@ -62,9 +62,14 @@ def main() -> None:
         # only on TPU: off-TPU the pallas kernel can't run and a silent
         # substitution would print misleading backend timings (ADVICE r2)
         if jax.default_backend() == "tpu":
-            yield ("pallas-2^14", 14, hashgrid_pallas.hash_grid_encode_tpu)
+            yield ("pallas-2^14-f32", 14,
+                   lambda x, t, s: hashgrid_pallas.hash_grid_encode_tpu(
+                       x, t, s, compute_dtype=jnp.float32))
+            yield ("pallas-2^14-bf16", 14,
+                   lambda x, t, s: hashgrid_pallas.hash_grid_encode_tpu(
+                       x, t, s, compute_dtype=jnp.bfloat16))
         else:
-            print("# pallas-2^14 arm skipped: backend is "
+            print("# pallas-2^14 arms skipped: backend is "
                   f"{jax.default_backend()!r}, not tpu")
         yield ("sorted-2^19", 19, hash_grid_encode_sorted)
         if args.xla:

@@ -29,6 +29,9 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--out", default="")
     ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--n-verts", type=int, default=1024,
+                    help="synthetic subject vertex count (6890 = the "
+                         "reference-scale headline geometry)")
     ap.add_argument("opts", nargs="*",
                     help="extra 'key value' config overrides, as bench.py")
     args = ap.parse_args()
@@ -41,7 +44,7 @@ def main() -> None:
     tmp = tempfile.mkdtemp()
     subject_path = os.path.join(tmp, "subject")
     make_synthetic_subject(subject_path, n_frames=4, img_size=512,
-                           n_verts=1024, seed=0)
+                           n_verts=args.n_verts, seed=0)
     c = init_cfg("configs/occnerf/zju_mocap/387/occnerf_tpu.yaml", [
         "train.dataset", "synthetic_train",
         "synthetic_dataset_path", subject_path,

@@ -183,7 +183,13 @@ def get_default_cfg() -> CfgNode:
     c.tpu = CfgNode(dict(
         mesh_shape=[-1],            # -1: use all local devices on one axis
         mesh_axis_names=["data"],
-        compute_dtype="float32",    # bfloat16 optionally for MLP interiors
+        # Pallas kernels' default matmul compute mode — what the
+        # DIFFERENTIABLE train pass runs at.  'float32' = exact f32
+        # (6 MXU passes), 'tfloat32' = bf16x3 (~1e-6 relative error,
+        # ~2x the f32 rate), 'bfloat16' = one pass (~2e-3, fastest).
+        # NOTE the TPU MXU never multiplies in true f32 hardware; see
+        # ops/_dtypes.py.  rank/eval knobs below override per-path.
+        compute_dtype="float32",
         knn_backend="approx",       # 'approx' (lax.approx_max_k) | 'exact'
         knn_recall=0.95,            # approx_max_k recall target
         # per-sample hash-grid encode backend: 'auto' | 'pallas' (MXU
@@ -191,9 +197,9 @@ def get_default_cfg() -> CfgNode:
         # backward, any size) | 'xla' (AD oracle path)
         hashgrid_backend="auto",
         # KNN vertex-feature aggregation backend: 'auto' | 'pallas'
-        # (attention-weighted one-hot MXU matmul, padded vertex tables
-        # <= 2048 rows — kills the per-chunk scatter-add backward) |
-        # 'xla' (gather+einsum oracle path)
+        # (attention-weighted one-hot MXU matmul, V-block tiled +
+        # per-scale group factorized, any table size — kills the
+        # per-chunk scatter-add backward) | 'xla' (gather+einsum oracle)
         vertagg_backend="auto",
         # rank compaction candidates with a max-pooled+dilated HALF-RES
         # proxy volume (a provable upper bound of the exact trilinear
@@ -202,15 +208,17 @@ def get_default_cfg() -> CfgNode:
         # pass — ~4x cheaper ranking; the kept rows then get the exact
         # full-res motion pass (train: differentiable; eval: no-grad)
         motion_rank_proxy=False,
-        # matmul input dtype for the STOP-GRADIENT ranking pass of
-        # two-pass compacted training (models/network.py): bfloat16
-        # halves its MXU time; only the compaction ranking, the
-        # comp-loss zero-count and the visibility counter see the
-        # rounding (the differentiable kept-row pass stays float32)
+        # matmul compute mode for the STOP-GRADIENT ranking pass of
+        # two-pass compacted training (models/network.py); accepts
+        # 'float32' | 'tfloat32' | 'bfloat16' like compute_dtype.
+        # bfloat16 runs its MXU work at ~6x the f32 rate; only the
+        # compaction ranking, the comp-loss zero-count and the
+        # visibility counter see the rounding (the differentiable
+        # kept-row pass stays at compute_dtype)
         rank_compute_dtype="float32",
-        # matmul input dtype for the no-grad eval/render path (motion
-        # kernel + per-sample hash encode): bfloat16 ~halves their MXU
-        # time for ~0.4% feature rounding; training is unaffected
+        # matmul compute mode for the no-grad eval/render path (motion
+        # kernel + per-sample hash encode); same accepted values.
+        # bfloat16 = ~0.4% feature rounding; training is unaffected
         eval_compute_dtype="float32",
         eval_ray_bucket=8192,       # rays padded to a multiple of this at eval
         train_chunk=1024,           # rays per rematerialized train chunk

@@ -30,9 +30,13 @@ def _look_at_extrinsics(campos: np.ndarray, lookat: np.ndarray) -> np.ndarray:
 
 
 def _render_splat(verts: np.ndarray, K: np.ndarray, E: np.ndarray,
-                  H: int, W: int, radius: int = 2):
+                  H: int, W: int, radius: int = 2,
+                  texture_freq: float = 7.0):
     """Project vertices and splat discs — a cheap depth-less rasterizer
-    good enough to give the pipeline real image/mask structure."""
+    good enough to give the pipeline real image/mask structure.
+    ``texture_freq`` sets the spatial frequency of the per-vertex color
+    field; high values (>= 50) give neighbouring vertices decorrelated
+    colors, stressing hash-table capacity/collisions in quality A/Bs."""
     R, T = E[:3, :3], E[:3, 3]
     cam = verts @ R.T + T
     z = np.clip(cam[:, 2], 1e-4, None)
@@ -44,7 +48,8 @@ def _render_splat(verts: np.ndarray, K: np.ndarray, E: np.ndarray,
     v = np.round(uv[:, 1]).astype(int)
     keep = (u >= radius) & (u < W - radius) & (v >= radius) & (v < H - radius)
     u, v = u[keep], v[keep]
-    col = (127 + 128 * np.abs(np.sin(verts[keep] * 7.0))).astype(np.uint8)
+    col = (127 + 128 * np.abs(np.sin(verts[keep] * texture_freq))
+           ).astype(np.uint8)
     for du in range(-radius, radius + 1):
         for dv in range(-radius, radius + 1):
             img[v + dv, u + du] = col
@@ -55,7 +60,8 @@ def _render_splat(verts: np.ndarray, K: np.ndarray, E: np.ndarray,
 def make_synthetic_subject(out_dir: str, n_frames: int = 5,
                            img_size: int = 128, n_verts: int = 512,
                            seed: int = 0,
-                           model_path: Optional[str] = None) -> str:
+                           model_path: Optional[str] = None,
+                           texture_freq: float = 7.0) -> str:
     """Write a synthetic subject dataset under ``out_dir``; returns path."""
     rng = np.random.default_rng(seed)
     os.makedirs(os.path.join(out_dir, "images"), exist_ok=True)
@@ -89,7 +95,8 @@ def make_synthetic_subject(out_dir: str, n_frames: int = 5,
 
         campos = np.array([0.0, 0.0, 2.5 + 0.1 * fi])
         E = _look_at_extrinsics(campos, np.zeros(3))
-        img, mask = _render_splat(verts, K, E, H, W)
+        img, mask = _render_splat(verts, K, E, H, W,
+                                  texture_freq=texture_freq)
         save_image(img, os.path.join(out_dir, "images", f"{name}.png"))
         save_image(np.stack([mask] * 3, -1),
                    os.path.join(out_dir, "masks", f"{name}.png"))

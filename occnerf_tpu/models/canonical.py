@@ -214,12 +214,15 @@ class OccNeRFCanonicalMLP:
               learnable_points: jnp.ndarray | None = None,
               concat_map: jnp.ndarray | None = None,
               vert_feat: jnp.ndarray | None = None,
-              enc_dtype=None, **_):
+              enc_dtype=None, vert_groups=None, **_):
         """``knn_idxs`` address either the base cloud (concat_map=None) or
         the concatenated [base; FPS levels] cloud (concat_map maps
         concatenated rows to base indices).  Pass a precomputed
         ``vert_feat`` (:meth:`vertex_features`) to share the per-vertex
-        table across chunked calls; otherwise it is built here."""
+        table across chunked calls; otherwise it is built here.
+        ``vert_groups`` declares the static per-scale (row range, lane
+        range) structure of the concat cloud for the scatter-free
+        aggregation backward (see ops.vertagg.knn_weighted_agg)."""
         N, k = knn_idxs.shape[0], knn_idxs.shape[2]
 
         # inside/outside + distance from the k-NN cloud (no-grad block,
@@ -276,7 +279,7 @@ class OccNeRFCanonicalMLP:
             atts_sm, var = self._att_normalize(knn_att)
             agg36 = _vertagg.knn_weighted_agg(
                 vert_feat, flat_idx, jax.lax.stop_gradient(atts_sm),
-                compute_dtype=enc_dtype)                 # (N,36)
+                compute_dtype=enc_dtype, groups=vert_groups)     # (N,36)
         else:
             gathered = vert_feat[flat_idx]                       # (N,4k,36)
             # extract the visibility lane as a contraction (a strided

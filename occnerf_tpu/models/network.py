@@ -397,10 +397,21 @@ class Network:
         knn_points = bn[..., :3]
         point_norms = bn[..., 3:]
 
+        # static per-scale structure of the concat cloud: lanes
+        # [s*k, (s+1)*k) of the flattened neighbour axis address rows
+        # [off_s, off_s + V_s) — lets the vertagg backward build each
+        # scale's one-hot from its own k lanes only (4x cheaper at
+        # reference scale; see ops/vertagg.py)
+        sizes = ((statics["point_base"].shape[0],)
+                 + tuple(f.shape[0] for f in statics["fps_idx"]))
+        groups, off = [], 0
+        for s, v in enumerate(sizes):
+            groups.append((off, off + v, s * c.knn_k, (s + 1) * c.knn_k))
+            off += v
         raws = self.cnl_mlp.apply(
             params["cnl_mlp"], xyz=xyz, knn_points=knn_points,
             point_norms=point_norms, knn_idxs=idx, vert_feat=vert_feat,
-            enc_dtype=enc_dtype)
+            enc_dtype=enc_dtype, vert_groups=tuple(groups))
         return raws, xyz
 
     def _render_chunk(self, params, statics, state, rays_o, rays_d, near,
@@ -447,10 +458,10 @@ class Network:
         # per-call matmul dtype: the stop-gradded ranking pass and the
         # no-grad eval path may run bfloat16 (cfg.tpu.{rank,eval}_
         # compute_dtype); the differentiable train pass never does
-        eval_dt = (jnp.bfloat16 if not training
-                   and c.eval_compute_dtype == "bfloat16" else None)
-        rank_dt = (jnp.bfloat16 if (training and compact)
-                   and c.rank_compute_dtype == "bfloat16" else eval_dt)
+        eval_dt = (c.eval_compute_dtype if not training
+                   and c.eval_compute_dtype != "float32" else None)
+        rank_dt = (c.rank_compute_dtype if (training and compact)
+                   and c.rank_compute_dtype != "float32" else eval_dt)
         x_skel = fg_mask_raw = flat = None
         if use_proxy:
             ub = sample_motion_proxy(

@@ -7,14 +7,18 @@ from .trilinear import grid_sample_3d, sample_motion_fields  # noqa: F401
 
 
 def set_compute_dtype(dtype) -> None:
-    """Set the Pallas kernels' matmul input dtype (float32 = exact vs the
-    XLA paths; bfloat16 = ~0.4% feature rounding, ~2x MXU throughput).
+    """Set the Pallas kernels' default matmul compute mode — the mode the
+    DIFFERENTIABLE train pass runs at (per-call rank/eval overrides sit
+    on top).  Accepted: 'float32' (exact, 6 MXU passes), 'tfloat32'/
+    'tf32' (bf16x3, ~1e-6 relative, ~2x the f32 rate), 'bfloat16'
+    (single pass, ~2e-3 relative, fastest).  See ops/_dtypes.py.
     Must run BEFORE the first jit trace of the kernels."""
-    import jax.numpy as jnp
-    from . import hashgrid_pallas, motion_pallas
-    dt = jnp.bfloat16 if str(dtype) in ("bfloat16", "bf16") else jnp.float32
-    hashgrid_pallas.COMPUTE_DTYPE = dt
-    motion_pallas.COMPUTE_DTYPE = dt
+    from . import hashgrid_pallas, motion_pallas, vertagg
+    from ._dtypes import dt_key
+    key = dt_key(str(dtype))
+    hashgrid_pallas.COMPUTE_DTYPE = key
+    motion_pallas.COMPUTE_DTYPE = key
+    vertagg.COMPUTE_DTYPE = key
 
 
 def set_knn_recall(recall: float) -> None:
@@ -45,9 +49,9 @@ def set_hashgrid_backend(name: str) -> None:
 
 
 # backend for the KNN vertex-feature aggregation (cfg.tpu.vertagg_backend):
-#   'auto'   — attention-weighted one-hot MXU matmul kernel on TPU when
-#              the vertex table fits (vertagg.supports: padded rows <=
-#              2048); the gather+einsum XLA path otherwise
+#   'auto'   — attention-weighted one-hot MXU matmul kernel on TPU
+#              (V-block tiled + per-scale group factorized, any table
+#              size); the gather+einsum XLA path otherwise
 #   'pallas' — force the kernel (errors if unsupported)
 #   'xla'    — force gather+einsum (scatter-add backward; oracle path)
 VERTAGG_BACKEND = "auto"

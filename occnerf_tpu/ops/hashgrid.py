@@ -275,6 +275,17 @@ def _sorted_level_grads(keys_lvls, vals_lvls, spec: HashGridSpec
     compiler (observed: tpu_compile_helper SIGKILL at L=16, M=6.3M),
     and one batched sort is faster anyway.  Segment sums run vmapped at
     the max level size; each level's rows are then sliced out.
+
+    HBM peak trade-off (accepted): stacking materializes the (L, M)
+    keys and (L, M, C) vals plus their sorted copies simultaneously —
+    ~1-2.4 GB of temps at the 2^19/L=16/M=6.3M production geometry —
+    where the per-level loop it replaced peaked at ~1/L of that.  The
+    v5e's 16 GB HBM absorbs it at every shipped configuration; if
+    profiling ever shows HBM pressure here, donate/free the unsorted
+    stacks or group levels by hsize bucket (the vmapped searchsorted
+    over hmax+1 boundaries also does redundant lookups for small
+    low-res levels — provably-zero rows beyond each hsize are sliced
+    away below).
     """
     L, C = spec.num_levels, vals_lvls[0].shape[-1]
     keys = jnp.stack(keys_lvls)                           # (L, M)

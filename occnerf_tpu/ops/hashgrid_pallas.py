@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ._dtypes import DTYPES as _DTYPES_, dt_key as _dt_key_
+from ._dtypes import dt_key as _dt_key_, mxu_dot_onehot as _oh_dot_
 
 from .hashgrid import _PRIMES, HashGridSpec
 
@@ -46,7 +46,7 @@ MAX_LOG2 = 15          # one-hot matmul viable up to 2^15-entry tables
 # (~0.4% feature rounding, ~2x MXU).  Set BEFORE the first jit trace, e.g.
 # via occnerf_tpu.ops.set_compute_dtype; per-call override via
 # hash_grid_encode_tpu(compute_dtype=...).
-COMPUTE_DTYPE = jnp.float32
+COMPUTE_DTYPE = "f32"   # module-default compute mode key (see ops/_dtypes.py)
 
 
 
@@ -118,8 +118,7 @@ def _corner_hw(ci, grids, fracs, primes, E):
 
 
 def _build_fwd_kernel(spec: HashGridSpec, E: int, n_rows: int,
-                      cdt=None):
-    cdt = COMPUTE_DTYPE if cdt is None else cdt
+                      dtk: str = "f32"):
     L = spec.num_levels
     D = spec.input_dim
     n_corners = 1 << D
@@ -157,12 +156,15 @@ def _build_fwd_kernel(spec: HashGridSpec, E: int, n_rows: int,
                     ci = cg * UNROLL + u
                     h, w = _corner_hw(ci, grids, fracs, primes, E)
                     row = h // 64
-                    onehot = (row_iota == row).astype(cdt)
+                    onehot = row_iota == row
                     # NOTE: Mosaic requires 32-bit matmul accumulators
                     # ('tpu.matmul op Expected matmul acc to be 32-bit'),
-                    # so bf16 only narrows the inputs
-                    A = jnp.dot(onehot, tbl.astype(cdt),
-                                preferred_element_type=jnp.float32)
+                    # so narrowing only affects the inputs; a dot
+                    # WITHOUT an explicit schedule silently runs one
+                    # bf16 pass even on f32 inputs.  The 0/1 one-hot is
+                    # exactly bf16, so exact f32 = a 3-term split of
+                    # the table (see _dtypes.mxu_dot_onehot).
+                    A = _oh_dot_(onehot, tbl, dtk)
                     # keep only the corner's two feature lanes, weighted;
                     # corners accumulate in ONE (Q, 128) panel and the
                     # final parity reduction separates the two features
@@ -181,8 +183,7 @@ def _build_fwd_kernel(spec: HashGridSpec, E: int, n_rows: int,
 
 
 def _build_bwd_kernel(spec: HashGridSpec, E: int, n_rows: int,
-                      cdt=None):
-    cdt = COMPUTE_DTYPE if cdt is None else cdt
+                      dtk: str = "f32"):
     L = spec.num_levels
     D = spec.input_dim
 
@@ -223,12 +224,11 @@ def _build_bwd_kernel(spec: HashGridSpec, E: int, n_rows: int,
             def body(ci, dlvl, grids=grids, fracs=fracs, g01=g01):
                 h, w = _corner_hw(ci, grids, fracs, primes, E)
                 row = h // 64
-                onehot = (row_iota == row).astype(cdt)
+                onehot = row_iota == row
                 pair = (half_iota == h % 64).astype(jnp.float32)
                 dA = (w * pair) * g01
-                return dlvl + jnp.dot(onehot.T,
-                                      dA.astype(cdt),
-                                      preferred_element_type=jnp.float32)
+                return dlvl + _oh_dot_(onehot, dA, dtk,
+                                       transpose_lhs=True)
 
             dtbl_ref[lvl] += jax.lax.fori_loop(
                 0, n_corners, body,
@@ -286,7 +286,7 @@ def _encode_fwd(x, table, spec, dtk):
     tbl = _prep_tables(table, spec, E)
 
     out = pl.pallas_call(
-        _build_fwd_kernel(spec, E, n_rows, _DTYPES_[dtk]),
+        _build_fwd_kernel(spec, E, n_rows, dtk),
         grid=(nblk,),
         in_specs=[
             pl.BlockSpec((Q_BLK, spec.input_dim), lambda i: (i, 0),
@@ -314,7 +314,7 @@ def _encode_bwd(spec, dtk, res, g):
     nblk = xp.shape[0] // Q_BLK
 
     dtbl = pl.pallas_call(
-        _build_bwd_kernel(spec, E, n_rows, _DTYPES_[dtk]),
+        _build_bwd_kernel(spec, E, n_rows, dtk),
         grid=(nblk,),
         in_specs=[
             pl.BlockSpec((Q_BLK, spec.input_dim), lambda i: (i, 0),

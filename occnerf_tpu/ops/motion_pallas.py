@@ -42,7 +42,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ._dtypes import DTYPES as _DTYPES_, dt_key as _dt_key_
+from ._dtypes import dt_key as _dt_key_, mxu_dot as _mxu_dot_
 
 D = 32                 # default volume side (32^3); table rows = 1024.
                        # kernels are generalized over the side (the
@@ -54,7 +54,7 @@ Q_BLK = 512            # queries per grid step
 
 # default matmul input dtype (see hashgrid_pallas.COMPUTE_DTYPE);
 # per-call override via trilinear_bone_weights(compute_dtype=...)
-COMPUTE_DTYPE = jnp.float32
+COMPUTE_DTYPE = "f32"   # module-default compute mode key (see ops/_dtypes.py)
 
 
 
@@ -99,7 +99,7 @@ def _xlane(q):
 
 
 # ---------------------------------------------------------------------------
-def _fwd_kernel(cdt, side, fx_ref, fy_ref, fz_ref, tbl_ref, out_ref):
+def _fwd_kernel(dtk, side, fx_ref, fy_ref, fz_ref, tbl_ref, out_ref):
     b = pl.program_id(1)
     nb = out_ref.shape[1]
     fx = _col(fx_ref, b, nb)
@@ -109,8 +109,7 @@ def _fwd_kernel(cdt, side, fx_ref, fy_ref, fz_ref, tbl_ref, out_ref):
     q = fx.shape[0]
     zl, yl = _zy_lanes(q, side)
     F = _tent(fz, zl) * _tent(fy, yl)                # (Q, 1024)
-    A = jnp.dot(F.astype(cdt), tbl_ref[0].astype(cdt),
-                preferred_element_type=jnp.float32)
+    A = _mxu_dot_(F, tbl_ref[0], dtk)
     W = _tent(fx, _xlane(q))                         # (Q, 128)
     val = jnp.sum(A * W, axis=1, keepdims=True)      # (Q, 1)
 
@@ -122,7 +121,7 @@ def _fwd_kernel(cdt, side, fx_ref, fy_ref, fz_ref, tbl_ref, out_ref):
     out_ref[:] += jnp.where(lane == b, val, 0.0)
 
 
-def _bwd_tbl_kernel(cdt, side, fx_ref, fy_ref, fz_ref, g_ref, dtbl_ref):
+def _bwd_tbl_kernel(dtk, side, fx_ref, fy_ref, fz_ref, g_ref, dtbl_ref):
     """dT accumulation: grid (B, nblk), nblk inner; dT revisited across
     the consecutive query blocks of each bone."""
     b = pl.program_id(0)
@@ -142,11 +141,10 @@ def _bwd_tbl_kernel(cdt, side, fx_ref, fy_ref, fz_ref, g_ref, dtbl_ref):
     F = _tent(fz, zl) * _tent(fy, yl)
     W = _tent(fx, _xlane(q))
     dA = g * W                                       # (Q, 128)
-    dtbl_ref[0] += jnp.dot(F.T.astype(cdt), dA.astype(cdt),
-                           preferred_element_type=jnp.float32)
+    dtbl_ref[0] += _mxu_dot_(F.T, dA, dtk)
 
 
-def _bwd_f_kernel(cdt, side, fx_ref, fy_ref, fz_ref, g_ref, tbl_ref,
+def _bwd_f_kernel(dtk, side, fx_ref, fy_ref, fz_ref, g_ref, tbl_ref,
                   dfx_ref, dfy_ref, dfz_ref):
     """Coordinate gradients; grid (nblk, B), bones inner, df blocks
     accumulated across bones into their lane columns."""
@@ -156,7 +154,7 @@ def _bwd_f_kernel(cdt, side, fx_ref, fy_ref, fz_ref, g_ref, tbl_ref,
     fy = _col(fy_ref, b, nb)
     fz = _col(fz_ref, b, nb)
     g = _col(g_ref, b, nb)
-    tbl = tbl_ref[0].astype(cdt)                     # (1024, 128)
+    tbl = tbl_ref[0]                                 # (1024, 128)
 
     q = fx.shape[0]
     zl, yl = _zy_lanes(q, side)
@@ -166,8 +164,7 @@ def _bwd_f_kernel(cdt, side, fx_ref, fy_ref, fz_ref, g_ref, tbl_ref,
     W = _tent(fx, xl)
 
     def contract(S):
-        return jnp.dot(S.astype(cdt), tbl,
-                       preferred_element_type=jnp.float32)
+        return _mxu_dot_(S, tbl, dtk)
 
     A = contract(Zt * Yt)                            # (Q, 128)
     # dval/dfx: tent derivative over the x lanes (table lanes >= 32 are
@@ -238,7 +235,6 @@ def _tbw(dtk, vols, fx, fy, fz):
 
 
 def _fwd(dtk, vols, fx, fy, fz):
-    cdt = _DTYPES_[dtk]
     B, N = fx.shape
     side = vols.shape[1]
     rows = side * side
@@ -252,7 +248,7 @@ def _fwd(dtk, vols, fx, fy, fz):
     qspec = pl.BlockSpec((Q_BLK, B), lambda i, b: (i, 0),
                          memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, cdt, side),
+        functools.partial(_fwd_kernel, dtk, side),
         grid=(nblk, B),
         in_specs=[qspec, qspec, qspec,
                   pl.BlockSpec((1, rows, LANES), lambda i, b: (b, 0, 0),
@@ -267,7 +263,6 @@ def _fwd(dtk, vols, fx, fy, fz):
 
 
 def _bwd(dtk, res, g):
-    cdt = _DTYPES_[dtk]
     vols, fx, fy, fz = res
     B, N = fx.shape
     side = vols.shape[1]
@@ -284,7 +279,7 @@ def _bwd(dtk, res, g):
     qspec_bi = pl.BlockSpec((Q_BLK, B), lambda b, i: (i, 0),
                             memory_space=pltpu.VMEM)
     dtbl = pl.pallas_call(
-        functools.partial(_bwd_tbl_kernel, cdt, side),
+        functools.partial(_bwd_tbl_kernel, dtk, side),
         grid=(B, nblk),
         in_specs=[qspec_bi, qspec_bi, qspec_bi, qspec_bi],
         out_specs=pl.BlockSpec((1, rows, LANES), lambda b, i: (b, 0, 0),
@@ -298,7 +293,7 @@ def _bwd(dtk, res, g):
     qspec_ib = pl.BlockSpec((Q_BLK, B), lambda i, b: (i, 0),
                             memory_space=pltpu.VMEM)
     dfx, dfy, dfz = pl.pallas_call(
-        functools.partial(_bwd_f_kernel, cdt, side),
+        functools.partial(_bwd_f_kernel, dtk, side),
         grid=(nblk, B),
         in_specs=[qspec_ib, qspec_ib, qspec_ib, qspec_ib,
                   pl.BlockSpec((1, rows, LANES), lambda i, b: (b, 0, 0),

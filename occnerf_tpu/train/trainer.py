@@ -151,17 +151,28 @@ class Trainer:
         # analog of the reference's LPIPS DataParallel
         # (`core/train/trainers/occnerf/trainer.py:70`).  GSPMD handles
         # P % n != 0 by internal padding.
-        patch_sharding = None
+        patch_sharding = replicated_sharding = None
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
             patch_sharding = NamedSharding(
                 self.mesh, PartitionSpec(self.mesh.axis_names[0]))
+            replicated_sharding = NamedSharding(self.mesh, PartitionSpec())
 
         def loss_fn(params, state, statics, lpips_params, batch, it, key):
             out, new_state = network.forward(
                 params, statics, state, batch, it, training=True,
                 perturb=perturb, rng=key)
-            rgb = out["rgb"].reshape(n_patches, psize, psize, 3)
+            rgb_flat = out["rgb"]
+            if patch_sharding is not None:
+                # ray-sharded (N,3) -> patch-sharded (P,s,s,3) has no
+                # direct SPMD transition (the reshape propagates a mixed
+                # patch/row split that GSPMD can only reach by an
+                # "involuntary full rematerialization" — a logged
+                # warning).  Route it explicitly: all-gather the (tiny)
+                # flat rgb, reshape locally, then slice to patch shards.
+                rgb_flat = jax.lax.with_sharding_constraint(
+                    rgb_flat, replicated_sharding)
+            rgb = rgb_flat.reshape(n_patches, psize, psize, 3)
             target = batch["target_patches"]
             if patch_sharding is not None:
                 rgb = jax.lax.with_sharding_constraint(rgb, patch_sharding)

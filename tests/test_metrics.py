@@ -12,7 +12,11 @@ def test_psnr_known_values():
     b = np.full((8, 8, 3), 0.1)
     # mse = 0.01 -> psnr = -10*log10(0.01) = 20
     assert np.isclose(psnr_metric(a, b), 20.0)
-    assert psnr_metric(a, a) == np.inf or psnr_metric(a, a) > 100
+    # identical images: clamped to the float64-eps floor, finite and no
+    # divide-by-zero warning
+    with np.errstate(divide="raise"):
+        p = psnr_metric(a, a)
+    assert np.isfinite(p) and p > 100
 
 
 def test_ssim_identical_and_scaled():

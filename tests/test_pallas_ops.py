@@ -175,6 +175,50 @@ def test_hashgrid_pallas_bf16_compute_dtype_close():
                                atol=1e-5)
 
 
+def test_compute_mode_key_plumbing():
+    """Config-string compute modes ('tfloat32', 'bfloat16', ...) resolve
+    through dt_key/matmul_precision and reach every kernel entrypoint
+    (per-call arg AND the set_compute_dtype module default) without
+    error; interpret mode computes exact f32 regardless, so values must
+    match the exact path."""
+    import jax.lax as lax
+    from occnerf_tpu import ops as _ops
+    from occnerf_tpu.ops._dtypes import dt_key, matmul_precision
+    from occnerf_tpu.ops.motion_pallas import trilinear_bone_weights
+    from occnerf_tpu.ops.trilinear import _flat_trilinear
+    from occnerf_tpu.ops.vertagg import knn_weighted_agg
+
+    assert dt_key("tfloat32") == dt_key("tf32") == "f32h"
+    assert dt_key("float32") == dt_key(jnp.float32) == "f32"
+    assert dt_key("bfloat16") == dt_key(jnp.bfloat16) == "bf16"
+    assert matmul_precision("f32") == lax.Precision.HIGHEST
+    assert matmul_precision("f32h") == lax.Precision.HIGH
+    assert matmul_precision(jnp.bfloat16) == lax.Precision.DEFAULT
+
+    rng = np.random.default_rng(2)
+    B, D, N = 2, 32, 256
+    vols = jnp.asarray(rng.uniform(size=(B, D, D, D)).astype(np.float32))
+    f = [jnp.asarray(rng.uniform(0, 31, (B, N)).astype(np.float32))
+         for _ in range(3)]
+    ref = np.asarray(_flat_trilinear(vols, *f))
+    for mode in ("tfloat32", "tf32", "float32"):
+        w = trilinear_bone_weights(vols, *f, compute_dtype=mode)
+        np.testing.assert_allclose(np.asarray(w), ref, atol=1e-5)
+
+    tbl = jnp.asarray(rng.normal(size=(64, 8)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, 64, (96, 4)).astype(np.int32))
+    atts = jnp.asarray(rng.uniform(size=(96, 4)).astype(np.float32))
+    want = np.asarray(jnp.einsum("nk,nkc->nc", atts, tbl[idx]))
+    try:
+        _ops.set_compute_dtype("tfloat32")
+        from occnerf_tpu.ops import vertagg as _va
+        assert _va.COMPUTE_DTYPE == "f32h"
+        out = knn_weighted_agg(tbl, idx, atts)   # module default path
+        np.testing.assert_allclose(np.asarray(out), want, atol=1e-5)
+    finally:
+        _ops.set_compute_dtype("float32")
+
+
 def test_motion_pallas_generalized_side_16():
     """The side-generalized kernel (compaction-ranking proxy volumes are
     16^3) matches the XLA trilinear oracle at side 16, fwd and grads."""
@@ -291,6 +335,52 @@ def test_vertagg_kernel_matches_gather_einsum():
     g_ref = jax.grad(lambda t: jnp.sum(ref(t) * cot))(table)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_vertagg_reference_scale_with_groups():
+    """The V-block-tiled backward at the real 6,890-vert concat-cloud
+    geometry (9,149 rows, 4 scale groups with disjoint row/lane ranges)
+    matches the AD scatter oracle; supports() covers it."""
+    import pytest
+    from occnerf_tpu.ops.vertagg import knn_weighted_agg, supports
+
+    sizes = (6890, 1722, 430, 107)   # base + FPS pyramid at ratio 1/4
+    k, C = 10, 36
+    V = sum(sizes)
+    N = 1000                          # forces Q padding too
+    assert supports(V, C, 4 * k)
+
+    rng = np.random.default_rng(11)
+    table = jnp.asarray(rng.normal(size=(V, C)).astype(np.float32))
+    groups, idx_cols, off = [], [], 0
+    for s, v in enumerate(sizes):
+        groups.append((off, off + v, s * k, (s + 1) * k))
+        idx_cols.append(rng.integers(off, off + v, (N, k)))
+        off += v
+    groups = tuple(groups)
+    idx = jnp.asarray(np.concatenate(idx_cols, axis=1).astype(np.int32))
+    atts = jnp.asarray(rng.uniform(size=(N, 4 * k)).astype(np.float32))
+
+    def ref(table):
+        return jnp.einsum("nk,nkc->nc", atts, table[idx])
+
+    out = knn_weighted_agg(table, idx, atts, groups=groups)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref(table)),
+                               rtol=2e-5, atol=2e-5)
+
+    cot = jnp.asarray(rng.normal(size=(N, C)).astype(np.float32))
+    g = jax.grad(lambda t: jnp.sum(
+        knn_weighted_agg(t, idx, atts, groups=groups) * cot))(table)
+    g_ref = jax.grad(lambda t: jnp.sum(ref(t) * cot))(table)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=2e-5, atol=2e-5)
+
+    # malformed groups (gap in rows / lanes, wrong coverage) must raise
+    with pytest.raises(ValueError):
+        knn_weighted_agg(table, idx, atts, groups=((0, V - 1, 0, 4 * k),))
+    with pytest.raises(ValueError):
+        knn_weighted_agg(table, idx, atts,
+                         groups=((0, 6890, 0, 10), (6891, V, 10, 4 * k)))
 
 
 def test_vertagg_backend_equivalence_through_canonical_mlp():

@@ -390,3 +390,75 @@ def test_proxy_compaction_sharded_equals_single():
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(depth), np.asarray(ref_depth),
                                atol=1e-5)
+
+
+def test_make_renderer_mesh_divisibility_fallback(capsys):
+    """A batch whose ray count does not divide the mesh falls back to
+    single-device placement with a one-time warning and still renders
+    the same values as a divisible (sharded) batch's common prefix
+    (app.py make_renderer fallback — the last untested branch flagged by
+    the round-2 advisor)."""
+    from occnerf_tpu.app import make_renderer
+    from occnerf_tpu.models.network import Network, NetworkConfig
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the virtual multi-device mesh")
+
+    rng = np.random.default_rng(5)
+    nc = NetworkConfig(
+        n_samples=8, chunk=64, knn_backend="exact",
+        cnl_mlp_depth=2, cnl_mlp_width=32,
+        cnl_num_levels=4, cnl_log2_hashmap_size=10, cnl_base_resolution=4,
+        mweight_module="self_vol", mweight_embedding_size=32,
+        mweight_volume_size=8,
+        nr_mlp_width=16, nr_mlp_depth=3, nr_skips=(2,),
+        nr_kick_in_iter=10, nr_full_band_iter=100,
+        pose_mlp_width=32, pose_mlp_depth=2, pose_kick_in_iter=50)
+    net = Network(nc)
+    verts = rng.normal(0, 0.2, (96, 3)).astype(np.float32)
+    joints = rng.normal(0, 0.3, (24, 3)).astype(np.float32)
+    faces = rng.integers(0, 96, (100, 3)).astype(np.int32)
+    statics = net.generate_neural_points(verts, joints, faces)
+    params, state = net.init(jax.random.PRNGKey(0), statics)
+
+    def make_batch(N):
+        return {
+            "rays": np.stack([
+                rng.normal(0, 0.1, (N, 3)) * 0 + [0, 0, -2.0],
+                np.tile([0, 0, 1.0], (N, 1))]).astype(np.float32),
+            "near": np.full((N, 1), 1.0, np.float32),
+            "far": np.full((N, 1), 3.0, np.float32),
+            "ray_valid": np.ones((N,), np.float32),
+            "dst_Rs": np.tile(np.eye(3, dtype=np.float32), (24, 1, 1)),
+            "dst_Ts": np.zeros((24, 3), np.float32),
+            "cnl_gtfms": np.tile(np.eye(4, dtype=np.float32), (24, 1, 1)),
+            "motion_weights_priors":
+                rng.uniform(0.01, 1, (25, 8, 8, 8)).astype(np.float32),
+            "dst_posevec": np.full((69,), 0.01, np.float32),
+            "cnl_bbox_min_xyz": np.array([-1, -1, -1], np.float32),
+            "cnl_bbox_scale_xyz": np.array([1, 1, 1], np.float32),
+            "bgcolor": np.array([255.0, 255.0, 255.0], np.float32),
+        }
+
+    render = make_renderer(net, statics, params, state)
+    ndev = len(jax.devices())
+    div = make_batch(8 * ndev)              # sharded path
+    out_div = render(div)
+    capsys.readouterr()
+
+    # indivisible ray count: identical ray content on the first rows
+    odd_n = 8 * ndev - 3
+    odd = {k: (v[:, :odd_n] if k == "rays" else
+               v[:odd_n] if v.shape[:1] == (8 * ndev,) else v)
+           for k, v in div.items()}
+    assert odd["near"].shape[0] == odd_n
+    out_odd = render(odd)
+    msg = capsys.readouterr().out
+    assert "not divisible" in msg
+    np.testing.assert_allclose(np.asarray(out_odd["rgb"]),
+                               np.asarray(out_div["rgb"])[:odd_n],
+                               atol=1e-5)
+
+    # the warning is one-time
+    render(odd)
+    assert "not divisible" not in capsys.readouterr().out
