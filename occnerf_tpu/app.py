@@ -42,9 +42,11 @@ def apply_tpu_settings() -> None:
     """Apply cfg.tpu ops knobs (compute dtype, KNN recall, hash-grid
     backend) — must run before the first jit trace of the model."""
     from .ops import (set_compute_dtype, set_hashgrid_backend,
-                      set_knn_recall, set_vertagg_backend)
+                      set_knn_recall, set_vertagg_backend,
+                      set_xla_matmul_precision)
     tpu = cfg.get("tpu", {})
     set_compute_dtype(tpu.get("compute_dtype", "float32"))
+    set_xla_matmul_precision(tpu.get("xla_matmul_precision", "default"))
     set_knn_recall(tpu.get("knn_recall", 0.95))
     set_hashgrid_backend(tpu.get("hashgrid_backend", "auto"))
     set_vertagg_backend(tpu.get("vertagg_backend", "auto"))

@@ -190,6 +190,12 @@ def get_default_cfg() -> CfgNode:
         # NOTE the TPU MXU never multiplies in true f32 hardware; see
         # ops/_dtypes.py.  rank/eval knobs below override per-path.
         compute_dtype="float32",
+        # precision of the XLA-side (non-Pallas) dots — MLP stacks, KNN
+        # distance matmuls, LPIPS convs.  'default' = JAX's standard TPU
+        # schedule (one bf16 pass, f32 accumulation — the mixed-precision
+        # training idiom all shipped quality gates passed under);
+        # 'tensorfloat32' = bf16x3 (~1e-6); 'float32' = exact.
+        xla_matmul_precision="default",
         knn_backend="approx",       # 'approx' (lax.approx_max_k) | 'exact'
         knn_recall=0.95,            # approx_max_k recall target
         # per-sample hash-grid encode backend: 'auto' | 'pallas' (MXU

@@ -21,6 +21,26 @@ def set_compute_dtype(dtype) -> None:
     vertagg.COMPUTE_DTYPE = key
 
 
+def set_xla_matmul_precision(name: str) -> None:
+    """Set the precision of XLA-side (non-Pallas) dots — the canonical
+    MLP stacks, KNN distance matmuls, LPIPS convs, einsum aggregations.
+    On TPU these otherwise run JAX's DEFAULT schedule: ONE bf16 MXU pass
+    with f32 accumulation (the standard mixed-precision training idiom;
+    every shipped quality gate ran and passed under it).  'tensorfloat32'
+    = bf16x3 (~1e-6 relative), 'float32' = exact (~6 passes).  Applies
+    process-globally via jax_default_matmul_precision; set before (or
+    it will retrigger) jit traces."""
+    import jax
+    key = {"default": "default", "bfloat16": "default", "bf16": "default",
+           "tensorfloat32": "tensorfloat32", "tf32": "tensorfloat32",
+           "tfloat32": "tensorfloat32", "high": "tensorfloat32",
+           "float32": "float32", "f32": "float32",
+           "highest": "float32"}.get(str(name))
+    if key is None:
+        raise ValueError(f"unknown xla matmul precision {name!r}")
+    jax.config.update("jax_default_matmul_precision", key)
+
+
 def set_knn_recall(recall: float) -> None:
     """Set the approx-KNN recall target (default 0.95; 0.85 is ~30%
     faster with negligible downstream effect).  Set before jit tracing."""

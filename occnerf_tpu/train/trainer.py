@@ -48,9 +48,12 @@ class Trainer:
     def __init__(self, network, statics, params, state,
                  progress_loader=None):
         from ..ops import (set_compute_dtype, set_hashgrid_backend,
-                           set_knn_recall, set_vertagg_backend)
+                           set_knn_recall, set_vertagg_backend,
+                           set_xla_matmul_precision)
         set_compute_dtype(cfg.get("tpu", {}).get("compute_dtype",
                                                  "float32"))
+        set_xla_matmul_precision(cfg.get("tpu", {}).get(
+            "xla_matmul_precision", "default"))
         set_knn_recall(cfg.get("tpu", {}).get("knn_recall", 0.95))
         set_hashgrid_backend(cfg.get("tpu", {}).get("hashgrid_backend",
                                                     "auto"))

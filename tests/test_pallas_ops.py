@@ -175,6 +175,30 @@ def test_hashgrid_pallas_bf16_compute_dtype_close():
                                atol=1e-5)
 
 
+def test_xla_matmul_precision_knob():
+    """cfg.tpu.xla_matmul_precision names resolve onto
+    jax_default_matmul_precision; unknown names raise; the default cfg
+    carries the knob."""
+    import pytest
+    from occnerf_tpu.config.defaults import get_default_cfg
+    from occnerf_tpu.ops import set_xla_matmul_precision
+
+    assert get_default_cfg().tpu.xla_matmul_precision == "default"
+    before = jax.config.jax_default_matmul_precision
+    try:
+        for name, want in (("tensorfloat32", "tensorfloat32"),
+                           ("tf32", "tensorfloat32"),
+                           ("float32", "float32"),
+                           ("highest", "float32"),
+                           ("default", "default")):
+            set_xla_matmul_precision(name)
+            assert jax.config.jax_default_matmul_precision == want
+        with pytest.raises(ValueError):
+            set_xla_matmul_precision("fp8")
+    finally:
+        jax.config.update("jax_default_matmul_precision", before)
+
+
 def test_compute_mode_key_plumbing():
     """Config-string compute modes ('tfloat32', 'bfloat16', ...) resolve
     through dt_key/matmul_precision and reach every kernel entrypoint
