@@ -29,10 +29,14 @@ ARMS = [
     ("baseline", []),
     ("rank_bf16", ["tpu.rank_compute_dtype", "bfloat16"]),
     ("recall_0.85", ["tpu.knn_recall", "0.85"]),
-    ("rank_bf16+recall_0.85", ["tpu.rank_compute_dtype", "bfloat16",
-                               "tpu.knn_recall", "0.85"]),
+    ("compute_tf32", ["tpu.compute_dtype", "tfloat32"]),
     ("compute_bf16", ["tpu.compute_dtype", "bfloat16"]),
     ("eval_bf16", ["tpu.eval_compute_dtype", "bfloat16"]),
+    ("xla_tf32", ["tpu.xla_matmul_precision", "tensorfloat32"]),
+    ("combo", ["tpu.rank_compute_dtype", "bfloat16",
+               "tpu.knn_recall", "0.85",
+               "tpu.compute_dtype", "tfloat32",
+               "tpu.eval_compute_dtype", "bfloat16"]),
 ]
 
 
