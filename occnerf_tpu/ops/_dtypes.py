@@ -76,18 +76,24 @@ def _bf16_split(x):
 def mxu_dot(a, b, key: str):
     """``a @ b`` on the MXU at the given compute mode, f32 accumulation.
     Mosaic-safe (see module docstring): never emits Precision.HIGH."""
+    # precision is pinned on every dot: an unpinned dot resolves the
+    # GLOBAL jax default_matmul_precision at trace time, so a
+    # tpu.xla_matmul_precision=tensorfloat32 session would push
+    # Precision.HIGH into these kernel dots and Mosaic would reject it.
+    _d = jax.lax.Precision.DEFAULT
     if key == "bf16":
         return jnp.dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32, precision=_d)
     if key == "f32h":
         a = a.astype(jnp.float32)
         b = b.astype(jnp.float32)
         ah, al = _bf16_split(a)
         bh, bl = _bf16_split(b)
         f32 = jnp.float32
-        return (jnp.dot(ah, bh, preferred_element_type=f32)
-                + (jnp.dot(ah, bl, preferred_element_type=f32)
-                   + jnp.dot(al, bh, preferred_element_type=f32)))
+        return (jnp.dot(ah, bh, preferred_element_type=f32, precision=_d)
+                + (jnp.dot(ah, bl, preferred_element_type=f32, precision=_d)
+                   + jnp.dot(al, bh, preferred_element_type=f32,
+                             precision=_d)))
     return jnp.dot(a.astype(jnp.float32), b.astype(jnp.float32),
                    preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST)
@@ -113,7 +119,10 @@ def mxu_dot_onehot(onehot, b, key: str, transpose_lhs: bool = False):
     f32 = jnp.float32
 
     def p(term):
-        return jnp.dot(oh, term, preferred_element_type=f32)
+        # DEFAULT pinned for the same global-precision-leak reason as
+        # mxu_dot — each bf16 pass must stay a single MXU pass.
+        return jnp.dot(oh, term, preferred_element_type=f32,
+                       precision=jax.lax.Precision.DEFAULT)
 
     if key == "bf16":
         return p(b.astype(jnp.bfloat16))

@@ -199,6 +199,44 @@ def test_xla_matmul_precision_knob():
         jax.config.update("jax_default_matmul_precision", before)
 
 
+def test_kernel_dots_immune_to_global_matmul_precision():
+    """A global tpu.xla_matmul_precision=tensorfloat32 session must not
+    leak Precision.HIGH into the Pallas kernels' dots (Mosaic's dot
+    lowering rejects HIGH; the kernels pin DEFAULT/HIGHEST per dot).
+    Regression: the r4 lever sweep's xla_tf32 arm crashed in
+    _dot_general_lowering_rule before this pin."""
+    from jax.lax import Precision
+    from occnerf_tpu.ops._dtypes import mxu_dot, mxu_dot_onehot
+
+    def dot_precisions(fn, *args):
+        precs = []
+        for eqn in jax.make_jaxpr(fn)(*args).jaxpr.eqns:
+            if eqn.primitive.name == "dot_general":
+                precs.append(eqn.params["precision"])
+        assert precs, "expected at least one dot_general"
+        return precs
+
+    a = jnp.ones((8, 16), jnp.float32)
+    b = jnp.ones((16, 4), jnp.float32)
+    oh = jnp.eye(8, 16, dtype=jnp.float32)
+    before = jax.config.jax_default_matmul_precision
+    try:
+        jax.config.update("jax_default_matmul_precision", "tensorfloat32")
+        for key in ("f32", "f32h", "bf16"):
+            for precs in (dot_precisions(lambda x, y: mxu_dot(x, y, key),
+                                         a, b),
+                          dot_precisions(
+                              lambda x, y: mxu_dot_onehot(x, y, key),
+                              oh, b)):
+                for p in precs:
+                    assert p != (Precision.HIGH, Precision.HIGH), key
+                    assert p is None or p in (
+                        (Precision.DEFAULT, Precision.DEFAULT),
+                        (Precision.HIGHEST, Precision.HIGHEST)), (key, p)
+    finally:
+        jax.config.update("jax_default_matmul_precision", before)
+
+
 def test_compute_mode_key_plumbing():
     """Config-string compute modes ('tfloat32', 'bfloat16', ...) resolve
     through dt_key/matmul_precision and reach every kernel entrypoint
