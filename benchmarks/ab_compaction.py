@@ -119,7 +119,7 @@ def main() -> None:
     ap.add_argument("--knn-recall", type=float, default=0.95,
                     help="tpu.knn_recall for every arm")
     ap.add_argument("--compute-dtype", default="float32",
-                    choices=("float32", "bfloat16"),
+                    choices=("float32", "tfloat32", "bfloat16"),
                     help="tpu.compute_dtype for every arm")
     ap.add_argument("--lpips-weight", type=float, default=None,
                     help="override train.lossweights.lpips (0 = pure "
