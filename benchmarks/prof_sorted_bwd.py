@@ -108,19 +108,20 @@ def main() -> None:
     vals_s = jnp.stack(cols, axis=-1)
     keys_s, vals_s = map(jax.block_until_ready, (keys_s, vals_s))
 
+    from occnerf_tpu.ops.hashgrid import _seg_inclusive_scan
+
     def scan_only(keys, vals):
         start = jnp.concatenate(
             [jnp.ones((L, 1), bool), keys[:, 1:] != keys[:, :-1]], axis=1)
-
-        def combine(a, b):
-            a_flag, a_sum = a
-            b_flag, b_sum = b
-            return (a_flag | b_flag,
-                    jnp.where(b_flag, b_sum, a_sum + b_sum))
-        _, s = jax.lax.associative_scan(
-            combine, (start[..., None], vals), axis=1)
-        return jnp.sum(s[:, -1])
+        return jnp.sum(_seg_inclusive_scan(start, vals)[:, -1])
     print(f"scan    : {_time(jax.jit(scan_only), keys_s, vals_s)*1e3:7.0f} ms",
+          flush=True)
+
+    def bounds_only(keys):
+        b = jax.vmap(lambda k: jnp.searchsorted(
+            k, jnp.arange(hmax + 1), method="sort"))(keys)
+        return jnp.sum(b[:, -1])
+    print(f"bounds  : {_time(jax.jit(bounds_only), keys_s)*1e3:7.0f} ms",
           flush=True)
 
     def seg_full(keys, vals):
