@@ -33,6 +33,8 @@ def main() -> None:
     ap.add_argument("--compaction", type=float, default=0.375)
     ap.add_argument("--eval-dtype", default="float32",
                     choices=("float32", "bfloat16"))
+    ap.add_argument("--n-verts", type=int, default=1024,
+                    help="6890 = reference-scale SMPL cloud")
     args = ap.parse_args()
 
     import jax
@@ -43,7 +45,7 @@ def main() -> None:
     tmp = tempfile.mkdtemp()
     subject_path = os.path.join(tmp, "subject")
     make_synthetic_subject(subject_path, n_frames=2, img_size=512,
-                           n_verts=1024, seed=0)
+                           n_verts=args.n_verts, seed=0)
 
     c = get_default_cfg()
     c.synthetic_dataset_path = subject_path

@@ -268,24 +268,58 @@ def _seg_inclusive_scan(start: jnp.ndarray, vals: jnp.ndarray
     return s
 
 
+def _searchsorted_iota(keys: jnp.ndarray, n_rows: int,
+                       anchor: int = 64) -> jnp.ndarray:
+    """``searchsorted(keys, arange(n_rows + 1))`` (left bounds), fast.
+
+    Exploits that the queries are ALL consecutive integers: anchor keys
+    every ``anchor`` elements, then the coarse locate step — "how many
+    anchors sort below each integer q" — is a histogram of the anchors
+    over the query range followed by an exclusive cumsum (one tiny
+    scatter + scan instead of per-query binary search).  Each bound then
+    lies in a window of ``anchor + 1`` positions, pinned down by
+    ceil(log2(anchor + 2)) gather rounds.  At the 2^19 production
+    geometry this replaces a 23-round binary search / a full extra sort
+    (~2.1 s / ~1.3 s measured) with ~7 gather rounds over the queries.
+
+    ``keys`` (M,) int32 sorted ascending in [0, n_rows).
+    """
+    M = keys.shape[0]
+    q = jnp.arange(n_rows + 1, dtype=jnp.int32)
+    anchors = keys[::anchor]                                # strided slice
+    hist = jnp.zeros((n_rows + 1,), jnp.int32).at[anchors].add(
+        1, mode="drop")                                     # values < n_rows
+    # m[q] = #anchors with value < q  (exclusive cumsum of the histogram)
+    m = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                         jnp.cumsum(hist)[:-1]])
+    # anchors 0..m-1 sort below q and anchor m (if any) does not, so the
+    # bound sits in [anchor*(m-1), anchor*m] (m=0 -> [0, anchor])
+    lo = jnp.maximum(m - 1, 0) * anchor
+    hi = jnp.minimum(m * anchor, M)
+    rounds = int(np.ceil(np.log2(anchor + 2)))
+    for _ in range(rounds):
+        mid = (lo + hi) // 2
+        kmid = keys[jnp.clip(mid, 0, max(M - 1, 0))]
+        go_right = (kmid < q) & (mid < M)
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    return lo
+
+
 def _segmented_sums(keys: jnp.ndarray, vals: jnp.ndarray, n_rows: int
                     ) -> jnp.ndarray:
     """Sum ``vals`` rows by sorted ``keys`` into a (n_rows, C) array.
 
     ``keys`` (M,) int32 sorted ascending in [0, n_rows); ``vals`` (M, C).
     Exact per-segment sums (segmented inclusive scan — no prefix-sum
-    cancellation), then one searchsorted over the n_rows+1 boundaries.
-    ``method='sort'`` turns the boundary lookup into one more batched
-    sort instead of a 23-round binary search whose per-round gathers
-    run at TPU's ~6 ns/element scalar-gather rate (measured ~2.1 s vs
-    ~0.4 s at the production geometry).
+    cancellation), then one anchored boundary lookup over the n_rows+1
+    integer queries (see ``_searchsorted_iota``).
     """
     start = jnp.concatenate(
         [jnp.ones((1,), bool), keys[1:] != keys[:-1]])
     scan = _seg_inclusive_scan(start, vals)
 
-    bounds = jnp.searchsorted(keys, jnp.arange(n_rows + 1),
-                              method="sort").astype(jnp.int32)
+    bounds = _searchsorted_iota(keys, n_rows).astype(jnp.int32)
     left, right = bounds[:-1], bounds[1:]
     seg_end = jnp.clip(right - 1, 0, keys.shape[0] - 1)
     return jnp.where((right > left)[:, None], scan[seg_end], 0.0)

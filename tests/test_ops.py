@@ -521,6 +521,25 @@ def test_hashgrid_sorted_backward_matches_ad(rng):
     np.testing.assert_array_equal(np.asarray(g_x), 0.0)
 
 
+def test_searchsorted_iota_matches_numpy(rng):
+    """The anchored integer-query searchsorted (the sorted backward's
+    boundary lookup) equals np.searchsorted on random sorted keys,
+    including duplicate-heavy, all-equal and single-element inputs, and
+    window widths around the anchor stride."""
+    from occnerf_tpu.ops.hashgrid import _searchsorted_iota
+
+    cases = []
+    for n_rows, m in ((5000, 20000), (300, 7), (64, 64), (1000, 1)):
+        cases.append((np.sort(rng.integers(0, n_rows, m)).astype(np.int32),
+                      n_rows))
+    cases.append((np.full(129, 3, np.int32), 10))       # one fat segment
+    cases.append((np.arange(100, dtype=np.int32), 100))  # all unique
+    for keys, n_rows in cases:
+        got = np.asarray(_searchsorted_iota(jnp.asarray(keys), n_rows))
+        want = np.searchsorted(keys, np.arange(n_rows + 1))
+        np.testing.assert_array_equal(got, want)
+
+
 def test_motion_proxy_upper_bounds_exact():
     """The pooled+dilated half-res proxy (tpu.motion_rank_proxy ranking)
     upper-bounds the exact trilinear foreground likelihood for every
