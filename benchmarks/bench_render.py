@@ -31,9 +31,6 @@ def main() -> None:
 
     tmp = tempfile.mkdtemp()
     subject_path = os.path.join(tmp, "subject")
-    make_synthetic_subject(subject_path, n_frames=2, img_size=512,
-                           n_verts=1024, seed=0)
-
     import argparse
     ap = argparse.ArgumentParser()
     ap.add_argument("--eval-chunk", type=int, default=2048,
@@ -48,10 +45,15 @@ def main() -> None:
                          "volume (tpu.motion_rank_proxy)")
     ap.add_argument("--knn-recall", type=float, default=0.95,
                     help="approx_max_k recall target (tpu.knn_recall)")
+    ap.add_argument("--n-verts", type=int, default=1024,
+                    help="6890 = reference-scale SMPL cloud")
     ap.add_argument("--dump", default=None, metavar="OUT.npy",
                     help="save the rendered rgb rays to OUT.npy so arms "
                          "(e.g. bf16 vs f32) can be diffed for quality")
     args = ap.parse_args()
+
+    make_synthetic_subject(subject_path, n_frames=2, img_size=512,
+                           n_verts=args.n_verts, seed=0)
 
     c = get_default_cfg()
     c.synthetic_dataset_path = subject_path
