@@ -31,7 +31,8 @@ def run_arm(subject_path: str, compaction: float, iters: int,
             knn_recall: float = 0.95,
             compute_dtype: str = "float32",
             lpips_weight: float | None = None,
-            proxy: bool = False) -> dict:
+            proxy: bool = False,
+            eval_both: bool = False) -> dict:
     import numpy as np
 
     from occnerf_tpu.config import cfg, get_default_cfg, set_cfg
@@ -80,19 +81,36 @@ def run_arm(subject_path: str, compaction: float, iters: int,
     jax.block_until_ready(trainer.params)
     wall = time.time() - t0
 
-    # eval with the trained in-memory params (full eval.py metric stack)
+    # eval with the trained params (full eval.py metric stack).  The
+    # metric render always runs EXACT f32 kernels regardless of the
+    # arm's training dtype — the A/B measures TRAINING quality, and
+    # eval_model rebuilds the network from cfg, so a bf16 train arm
+    # would otherwise also render its metrics in bf16 and conflate
+    # eval-render rounding with training-quality loss (round-4 gates
+    # hit exactly this).  Pass eval_both=True to also measure the pure
+    # eval-rounding delta on the same trained weights.
     cfg.perturb = 0.0
     cfg.bgcolor = [255.0, 255.0, 255.0]
     trainer.save_ckpt("latest")
+    cfg.tpu.compute_dtype = "float32"
+    cfg.tpu.eval_compute_dtype = "float32"
     import eval as eval_entry
     means = eval_entry.eval_model(render_folder_name=f"ab_{compaction}")
-    means.update({"compaction": compaction, "iters": iters, "seed": seed,
-                  "log2_hashmap": log2_hashmap,
-                  "rank_dtype": rank_dtype, "eval_dtype": eval_dtype,
-                  "knn_recall": knn_recall, "compute_dtype": compute_dtype,
-                  "lpips_weight": lpips_weight, "proxy": proxy,
-                  "wall_sec": round(wall, 1),
-                  "sec_per_iter": round(wall / max(iters, 1), 3)})
+    meta = {"compaction": compaction, "iters": iters, "seed": seed,
+            "log2_hashmap": log2_hashmap,
+            "rank_dtype": rank_dtype, "eval_dtype": eval_dtype,
+            "knn_recall": knn_recall, "compute_dtype": compute_dtype,
+            "lpips_weight": lpips_weight, "proxy": proxy,
+            "wall_sec": round(wall, 1),
+            "sec_per_iter": round(wall / max(iters, 1), 3)}
+    means.update(meta)
+    if eval_both:
+        cfg.tpu.eval_compute_dtype = "bfloat16"
+        bf = eval_entry.eval_model(render_folder_name=f"ab_{compaction}_bf16")
+        bf.update(meta)
+        bf["eval_pass"] = "bfloat16"
+        print("AB_RESULT " + json.dumps(bf), flush=True)
+        cfg.tpu.eval_compute_dtype = "float32"
     return means
 
 
@@ -124,6 +142,12 @@ def main() -> None:
     ap.add_argument("--lpips-weight", type=float, default=None,
                     help="override train.lossweights.lpips (0 = pure "
                          "MSE+completeness loss-robustness check)")
+    ap.add_argument("--eval-both", action="store_true",
+                    help="after the exact-f32 metric eval, re-evaluate "
+                         "the same trained weights with eval_compute_"
+                         "dtype=bfloat16 (second AB_RESULT line, "
+                         "eval_pass=bfloat16) — isolates eval-render "
+                         "rounding from training quality")
     ap.add_argument("--n-verts", type=int, default=1024)
     ap.add_argument("--texture-freq", type=float, default=7.0,
                     help="synthetic texture spatial frequency (>= 50 "
@@ -147,7 +171,8 @@ def main() -> None:
                           knn_recall=args.knn_recall,
                           compute_dtype=args.compute_dtype,
                           lpips_weight=args.lpips_weight,
-                          proxy=args.proxy)
+                          proxy=args.proxy,
+                          eval_both=args.eval_both)
             print("AB_RESULT " + json.dumps(res), flush=True)
 
 
