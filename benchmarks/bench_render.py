@@ -37,8 +37,8 @@ def main() -> None:
                     help="rays per render chunk (tpu.eval_chunk)")
     ap.add_argument("--compaction", type=float, default=0.375)
     ap.add_argument("--eval-dtype", default="float32",
-                    choices=("float32", "bfloat16"),
-                    help="matmul input dtype of the no-grad eval path "
+                    choices=("float32", "tfloat32", "bfloat16"),
+                    help="matmul compute mode of the no-grad eval path "
                          "(tpu.eval_compute_dtype)")
     ap.add_argument("--proxy", action="store_true",
                     help="rank compaction with the half-res upper-bound "

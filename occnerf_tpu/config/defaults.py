@@ -227,6 +227,12 @@ def get_default_cfg() -> CfgNode:
         # bfloat16 = ~0.4% feature rounding; training is unaffected
         eval_compute_dtype="float32",
         eval_ray_bucket=8192,       # rays padded to a multiple of this at eval
+        # eval/render-path compaction fraction; < 0 follows
+        # sample_compaction.  The no-grad path tolerates a lower
+        # fraction than training (nothing differentiates through
+        # dropped rows), making render throughput tunable without
+        # touching the training recipe
+        eval_sample_compaction=-1.0,
         train_chunk=1024,           # rays per rematerialized train chunk
         eval_chunk=2048,            # rays per eval/render chunk (occnerf mlp)
         # occupancy-guided sample compaction: fraction of per-chunk samples

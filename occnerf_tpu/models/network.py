@@ -67,6 +67,11 @@ class NetworkConfig:
     # (every zero-likelihood sample maps to the canonical origin).
     # 1.0 disables.
     sample_compaction: float = 1.0
+    # eval/render-path compaction fraction; < 0 (default) follows
+    # sample_compaction.  The no-grad path tolerates a lower fraction
+    # than training (no gradient flows through dropped rows, and eval
+    # exactness is checkable per frame), so it is a separate knob.
+    eval_sample_compaction: float = -1.0
     bbox_offset: float = 0.3
     knn_k: int = 10
     sdf_k: int = 3
@@ -126,6 +131,8 @@ class NetworkConfig:
             eval_chunk=int(c.get("tpu", {}).get("eval_chunk", 2048)),
             sample_compaction=float(
                 c.get("tpu", {}).get("sample_compaction", 1.0)),
+            eval_sample_compaction=float(
+                c.get("tpu", {}).get("eval_sample_compaction", -1.0)),
             bbox_offset=c.bbox_offset,
             knn_backend=c.get("tpu", {}).get("knn_backend", "approx"),
             rank_compute_dtype=c.get("tpu", {}).get(
@@ -414,6 +421,15 @@ class Network:
             enc_dtype=enc_dtype, vert_groups=tuple(groups))
         return raws, xyz
 
+    def _compaction_frac(self, training: bool) -> float:
+        """Effective sample-compaction fraction for this pass: training
+        uses ``sample_compaction``; eval/render uses
+        ``eval_sample_compaction`` when set (>= 0), else follows."""
+        c = self.cfg
+        if not training and c.eval_sample_compaction >= 0:
+            return c.eval_sample_compaction
+        return c.sample_compaction
+
     def _render_chunk(self, params, statics, state, rays_o, rays_d, near,
                       far, ray_valid, bgcolor, iter_val, non_rigid_input,
                       motion_scale_Rs, motion_Ts, motion_weights_vol,
@@ -428,7 +444,7 @@ class Network:
 
         pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
         ns_all = n * c.n_samples
-        frac = c.sample_compaction
+        frac = self._compaction_frac(training)
         K = min(ns_all, -(-int(ns_all * frac) // 512) * 512)
         compact = self.is_occnerf_mlp and K < ns_all
         # Under compaction during training the motion backward only needs
@@ -667,7 +683,7 @@ class Network:
             batch["motion_weights_priors"][None])[0]
         proxy_vol = None
         if (self.is_occnerf_mlp and self.cfg.motion_rank_proxy
-                and self.cfg.sample_compaction < 1.0):
+                and self._compaction_frac(training) < 1.0):
             # half-res upper-bound volume for the compaction ranking,
             # built once per step (ranking is stop-gradient by design)
             proxy_vol = pool_dilate_volume(jax.lax.stop_gradient(

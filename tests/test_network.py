@@ -503,3 +503,77 @@ def test_proxy_eval_padded_rays_composite_to_bg(setup):
     # valid rays unaffected by the padding
     np.testing.assert_allclose(np.asarray(out_p["rgb"][:n]),
                                np.asarray(out_u["rgb"]), atol=1e-5)
+
+
+def test_eval_sample_compaction_knob(setup):
+    """tpu.eval_sample_compaction decouples the no-grad render fraction
+    from the training fraction: eval at 1.0 reproduces the uncompacted
+    eval forward even when training compaction is on; a fractional eval
+    value whose K covers every positive sample matches the full forward
+    (the same exactness condition as training compaction); and the
+    training pass ignores the eval knob entirely."""
+    _, params0, state, statics0, batch = setup
+
+    def make(frac, eval_frac):
+        cfg = NetworkConfig(
+            n_samples=64, chunk=32, knn_backend="exact",
+            sample_compaction=frac, eval_sample_compaction=eval_frac,
+            cnl_mlp_depth=2, cnl_mlp_width=32,
+            cnl_num_levels=4, cnl_log2_hashmap_size=10,
+            cnl_base_resolution=4,
+            mweight_embedding_size=32, mweight_volume_size=8,
+            nr_mlp_width=16, nr_mlp_depth=3, nr_skips=(2,),
+            nr_kick_in_iter=10, nr_full_band_iter=100,
+            pose_mlp_width=32, pose_mlp_depth=2, pose_kick_in_iter=50)
+        return Network(cfg)
+
+    from occnerf_tpu.smpl.model import SMPL, save_model, \
+        synthetic_smpl_model as _ssm
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    save_model(_ssm(n_verts=128, seed=2), os.path.join(
+        d, "basicModel_neutral_lbs_10_207_0_v1.0.0.pkl"))
+    smpl = SMPL(model_dir=d)
+    verts, joints = smpl(np.zeros(72), np.zeros(10))
+
+    net_full = make(1.0, -1.0)            # no compaction anywhere
+    net_e10 = make(0.5, 1.0)              # train compacted, eval exact-off
+    net_e05 = make(1.0, 0.5)              # train off, eval compacted
+    statics = net_full.generate_neural_points(verts, joints, smpl.faces)
+    for net in (net_e10, net_e05):
+        net.generate_neural_points(verts, joints, smpl.faces)
+    params, state = net_full.init(jax.random.PRNGKey(0), statics)
+
+    # push rays so over half the samples fall outside the volume (the
+    # K-covers-positives exactness condition for the fractional arm)
+    b = dict(batch)
+    b["far"] = jnp.full_like(batch["far"], 10.0)
+
+    out_f, _ = net_full.forward(params, statics, state, b, 1e7,
+                                training=False)
+    # eval override 1.0: compaction statically off at eval
+    out_10, _ = net_e10.forward(params, statics, state, b, 1e7,
+                                training=False)
+    np.testing.assert_allclose(np.asarray(out_f["rgb"]),
+                               np.asarray(out_10["rgb"]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_f["alpha"]),
+                               np.asarray(out_10["alpha"]), atol=1e-6)
+    # eval override 0.5 with K covering all positives: exact
+    out_05, _ = net_e05.forward(params, statics, state, b, 1e7,
+                                training=False)
+    np.testing.assert_allclose(np.asarray(out_f["rgb"]),
+                               np.asarray(out_05["rgb"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_f["depth"]),
+                               np.asarray(out_05["depth"]), atol=1e-5)
+
+    # the training pass ignores the eval knob: net_e05 trains exactly
+    # like net_full (both sample_compaction = 1.0)
+    tr_f, _ = net_full.forward(params, statics, state, b, 100.0,
+                               training=True, perturb=0.0)
+    tr_05, _ = net_e05.forward(params, statics, state, b, 100.0,
+                               training=True, perturb=0.0)
+    np.testing.assert_allclose(np.asarray(tr_f["rgb"]),
+                               np.asarray(tr_05["rgb"]), atol=1e-6)
+    np.testing.assert_allclose(
+        float(jnp.sum(tr_f["comp_loss"])),
+        float(jnp.sum(tr_05["comp_loss"])), rtol=1e-5)
