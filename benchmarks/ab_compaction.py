@@ -32,7 +32,8 @@ def run_arm(subject_path: str, compaction: float, iters: int,
             compute_dtype: str = "float32",
             lpips_weight: float | None = None,
             proxy: bool = False,
-            eval_both: bool = False) -> dict:
+            eval_both: bool = False,
+            eval_compaction: float | None = None) -> dict:
     import numpy as np
 
     from occnerf_tpu.config import cfg, get_default_cfg, set_cfg
@@ -94,6 +95,12 @@ def run_arm(subject_path: str, compaction: float, iters: int,
     trainer.save_ckpt("latest")
     cfg.tpu.compute_dtype = "float32"
     cfg.tpu.eval_compute_dtype = "float32"
+    if eval_compaction is not None:
+        # metric-eval wall-time lever only: the eval-knob gate (fixed
+        # checkpoint, docs/ROADMAP.md) measured eval_sample_compaction
+        # 0.25 metric-neutral to ~1e-4 dB, far below any gate's
+        # decision threshold — and it applies identically to every arm.
+        cfg.tpu.eval_sample_compaction = eval_compaction
     import eval as eval_entry
     means = eval_entry.eval_model(render_folder_name=f"ab_{compaction}")
     meta = {"compaction": compaction, "iters": iters, "seed": seed,
@@ -101,6 +108,7 @@ def run_arm(subject_path: str, compaction: float, iters: int,
             "rank_dtype": rank_dtype, "eval_dtype": eval_dtype,
             "knn_recall": knn_recall, "compute_dtype": compute_dtype,
             "lpips_weight": lpips_weight, "proxy": proxy,
+            "eval_compaction": eval_compaction,
             "wall_sec": round(wall, 1),
             "sec_per_iter": round(wall / max(iters, 1), 3)}
     means.update(meta)
@@ -148,6 +156,10 @@ def main() -> None:
                          "dtype=bfloat16 (second AB_RESULT line, "
                          "eval_pass=bfloat16) — isolates eval-render "
                          "rounding from training quality")
+    ap.add_argument("--eval-compaction", type=float, default=None,
+                    help="tpu.eval_sample_compaction for the metric "
+                         "eval pass only (0.25 is measured metric-"
+                         "neutral; cuts eval wall ~27%%)")
     ap.add_argument("--n-verts", type=int, default=1024)
     ap.add_argument("--texture-freq", type=float, default=7.0,
                     help="synthetic texture spatial frequency (>= 50 "
@@ -172,7 +184,8 @@ def main() -> None:
                           compute_dtype=args.compute_dtype,
                           lpips_weight=args.lpips_weight,
                           proxy=args.proxy,
-                          eval_both=args.eval_both)
+                          eval_both=args.eval_both,
+                          eval_compaction=args.eval_compaction)
             print("AB_RESULT " + json.dumps(res), flush=True)
 
 
