@@ -98,8 +98,9 @@ def run_arm(subject_path: str, compaction: float, iters: int,
     if eval_compaction is not None:
         # metric-eval wall-time lever only: the eval-knob gate (fixed
         # checkpoint, docs/ROADMAP.md) measured eval_sample_compaction
-        # 0.25 metric-neutral to ~1e-4 dB, far below any gate's
-        # decision threshold — and it applies identically to every arm.
+        # 0.25 metric-neutral to ~3e-5 dB (every swept arm <= ~1e-4),
+        # far below any gate's decision threshold — and it applies
+        # identically to every arm.
         cfg.tpu.eval_sample_compaction = eval_compaction
     import eval as eval_entry
     means = eval_entry.eval_model(render_folder_name=f"ab_{compaction}")

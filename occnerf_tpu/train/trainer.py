@@ -294,24 +294,29 @@ class Trainer:
                                    **scalars})
                 self._check_finite(loss)
 
-            is_reload_model = False
+            # The reference ships with progress-triggered model reload
+            # disabled (core/train/trainers/occnerf/trainer.py:374-389
+            # always falls through), so progress() is a pure side-effect
+            # here and the iteration always advances.  The old
+            # `is_reload_model` gate skipped the increment on a branch
+            # that could never fire — and would have re-run the same
+            # iteration forever if it ever did.
             if self.iter in PROGRESS_EXTRA_ITERS or \
                     self.iter % cfg.progress.dump_interval == 0:
-                is_reload_model = self.progress()
+                self.progress()
 
-            if not is_reload_model:
-                if self.iter % cfg.train.save_checkpt_interval == 0:
-                    # never overwrite 'latest' with a poisoned state, even
-                    # when the save cadence is not a multiple of
-                    # log_interval (the in-log-block check above may not
-                    # have run this iter)
-                    self._check_finite(loss)
-                    self.save_ckpt("latest")
-                if cfg.save_all and \
-                        self.iter % cfg.train.save_model_interval == 0:
-                    self._check_finite(loss)
-                    self.save_ckpt(f"iter_{self.iter}")
-                self.iter += 1
+            if self.iter % cfg.train.save_checkpt_interval == 0:
+                # never overwrite 'latest' with a poisoned state, even
+                # when the save cadence is not a multiple of
+                # log_interval (the in-log-block check above may not
+                # have run this iter)
+                self._check_finite(loss)
+                self.save_ckpt("latest")
+            if cfg.save_all and \
+                    self.iter % cfg.train.save_model_interval == 0:
+                self._check_finite(loss)
+                self.save_ckpt(f"iter_{self.iter}")
+            self.iter += 1
         return self.iter > cfg.train.maxiter
 
     # ------------------------------------------------------------------
@@ -411,7 +416,9 @@ class Trainer:
 
         if is_empty_img:
             print("Produces empty images.")
-        return False  # reference keeps reload disabled (trainer.py:374-389)
+        # Reference parity: the reload-on-empty branch is disabled there
+        # (trainer.py:374-389), so progress() has no return value to act
+        # on — see the call site in train().
 
     # ------------------------------------------------------------------
     def save_ckpt(self, name: str):
