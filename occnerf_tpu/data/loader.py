@@ -9,8 +9,8 @@ consumer — the host/TPU overlap that matters for step time.
 
 from __future__ import annotations
 
-import queue
-import threading
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, Optional
 
 import numpy as np
@@ -45,31 +45,28 @@ class DataLoader:
                 yield self.dataset[int(i)]
             return
 
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        stop = threading.Event()
-
-        def producer():
-            try:
-                for i in order:
-                    if stop.is_set():
-                        return
-                    q.put(self.dataset[int(i)])
-            finally:
-                q.put(None)
-
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
+        # num_workers decode threads over a sliding window of in-flight
+        # items (>= prefetch), yielded strictly in `order` — same epoch
+        # stream as num_workers=0.  Item decode is numpy-heavy (undistort,
+        # resize, ray sampling) and releases the GIL, so workers overlap
+        # with each other and with the consumer's device step.
+        window = max(self.prefetch, self.num_workers)
+        ex = ThreadPoolExecutor(max_workers=self.num_workers)
+        pending: deque = deque()
+        it = iter(order)
         try:
-            while True:
-                item = q.get()
-                if item is None:
+            for i in it:
+                pending.append(ex.submit(self.dataset.__getitem__, int(i)))
+                if len(pending) >= window:
                     break
+            while pending:
+                item = pending.popleft().result()
+                nxt = next(it, None)
+                if nxt is not None:
+                    pending.append(
+                        ex.submit(self.dataset.__getitem__, int(nxt)))
                 yield item
         finally:
-            stop.set()
-            # drain so the producer can observe the stop flag
-            while not q.empty():
-                try:
-                    q.get_nowait()
-                except queue.Empty:
-                    break
+            for f in pending:
+                f.cancel()
+            ex.shutdown(wait=False)
