@@ -36,10 +36,20 @@ def main() -> None:
     ap.add_argument("--eval-chunk", type=int, default=2048,
                     help="rays per render chunk (tpu.eval_chunk)")
     ap.add_argument("--compaction", type=float, default=0.375)
+    ap.add_argument("--eval-compaction", type=float, default=None,
+                    help="eval-path compaction fraction "
+                         "(tpu.eval_sample_compaction; default: follow "
+                         "--compaction)")
     ap.add_argument("--eval-dtype", default="float32",
                     choices=("float32", "tfloat32", "bfloat16"),
                     help="matmul compute mode of the no-grad eval path "
                          "(tpu.eval_compute_dtype)")
+    ap.add_argument("--rank-dtype", default="float32",
+                    choices=("float32", "tfloat32", "bfloat16"),
+                    help="tpu.rank_compute_dtype")
+    ap.add_argument("--compute-dtype", default="float32",
+                    choices=("float32", "tfloat32", "bfloat16"),
+                    help="tpu.compute_dtype (train-pass kernels)")
     ap.add_argument("--proxy", action="store_true",
                     help="rank compaction with the half-res upper-bound "
                          "volume (tpu.motion_rank_proxy)")
@@ -62,8 +72,12 @@ def main() -> None:
     c.canonical_mlp.log2_hashmap_size = 14
     # recommended TPU configuration (see bench.py / docs/ROADMAP.md)
     c.tpu.sample_compaction = args.compaction
+    if args.eval_compaction is not None:
+        c.tpu.eval_sample_compaction = args.eval_compaction
     c.tpu.eval_chunk = args.eval_chunk
     c.tpu.eval_compute_dtype = args.eval_dtype
+    c.tpu.rank_compute_dtype = args.rank_dtype
+    c.tpu.compute_dtype = args.compute_dtype
     c.tpu.motion_rank_proxy = args.proxy
     c.tpu.knn_recall = args.knn_recall
     c.logdir = os.path.join(tmp, "logs")
@@ -101,6 +115,7 @@ def main() -> None:
           f"{dt * 1000:.0f} ms -> {n_rays / dt:.0f} rays/s/chip "
           f"(512x512 tpose camera, occnerf MLP, eval_chunk "
           f"{args.eval_chunk}, compaction {args.compaction}, "
+          f"eval_compaction {args.eval_compaction}, "
           f"eval_dtype {args.eval_dtype}, proxy {args.proxy}, "
           f"knn_recall {args.knn_recall})")
     if args.dump:

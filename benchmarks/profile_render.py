@@ -29,11 +29,20 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--out", default="")
     ap.add_argument("--top", type=int, default=25)
+    # defaults = the shipped TPU overlay knobs
+    # (configs/occnerf/zju_mocap/387/occnerf_tpu.yaml)
     ap.add_argument("--eval-chunk", type=int, default=2048)
     ap.add_argument("--compaction", type=float, default=0.375)
-    ap.add_argument("--eval-dtype", default="float32",
+    ap.add_argument("--eval-compaction", type=float, default=0.25)
+    ap.add_argument("--proxy", type=int, default=1,
+                    help="tpu.motion_rank_proxy")
+    ap.add_argument("--eval-dtype", default="bfloat16",
                     choices=("float32", "bfloat16"))
-    ap.add_argument("--n-verts", type=int, default=1024,
+    ap.add_argument("--rank-dtype", default="bfloat16",
+                    choices=("float32", "bfloat16"))
+    ap.add_argument("--compute-dtype", default="bfloat16",
+                    choices=("float32", "tfloat32", "bfloat16"))
+    ap.add_argument("--n-verts", type=int, default=6890,
                     help="6890 = reference-scale SMPL cloud")
     args = ap.parse_args()
 
@@ -53,8 +62,12 @@ def main() -> None:
     c.canonical_mlp.mlp_depth = 4
     c.canonical_mlp.log2_hashmap_size = 14
     c.tpu.sample_compaction = args.compaction
+    c.tpu.eval_sample_compaction = args.eval_compaction
+    c.tpu.motion_rank_proxy = bool(args.proxy)
     c.tpu.eval_chunk = args.eval_chunk
     c.tpu.eval_compute_dtype = args.eval_dtype
+    c.tpu.rank_compute_dtype = args.rank_dtype
+    c.tpu.compute_dtype = args.compute_dtype
     c.logdir = os.path.join(tmp, "logs")
     set_cfg(c)
 
