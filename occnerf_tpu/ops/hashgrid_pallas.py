@@ -31,6 +31,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -55,7 +56,7 @@ def supports(spec: HashGridSpec) -> bool:
     power-of-two table size (true for 4-D inputs with capped tables).
 
     The kernel implements the flagship semantics only — linear
-    interpolation, align_corners=False (`_grids_fracs` hardcodes the
+    interpolation, align_corners=False (`_all_hw` hardcodes the
     +0.5 offset and linear fracs): reject the extended gridencoder modes
     so the 'auto' backend routes them to the exact XLA/sorted paths
     instead of silently computing linear features for them."""
@@ -82,17 +83,6 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _grids_fracs(x_cols, spec, lvl):
-    """Per-dim integer cell + fractional offset at one level."""
-    grids, fracs = [], []
-    for d in range(spec.input_dim):
-        pos = x_cols[d] * spec.scales[lvl] + 0.5
-        g = jnp.floor(pos)
-        grids.append(g.astype(jnp.int32))
-        fracs.append(pos - g)
-    return grids, fracs
-
-
 def _primes_i32(spec):
     out = []
     for d in range(spec.input_dim):
@@ -101,20 +91,45 @@ def _primes_i32(spec):
     return out
 
 
-def _corner_hw(ci, grids, fracs, primes, E):
-    """(hash, weight) of corner ``ci`` (a traced scalar: bits extracted
-    with lax ops, so the corner loop can be a fori_loop with one corner's
-    temporaries live at a time — Mosaic stack-allocates all unrolled
-    temps otherwise)."""
-    h = jnp.zeros_like(grids[0])
+def _all_hw(x_cols, scale, spec, primes, E, q):
+    """Lane-batched (hash, weight) for ALL (level, corner) pairs at once:
+    two (Q, L*2^D) arrays, lane ``lvl*2^D + ci``.  ``scale`` is the
+    (1, L*2^D) per-lane level-scale vector (a kernel input: pallas
+    rejects captured array constants).
+
+    The per-corner hash/weight chains on (Q, 1) columns cost the VPU as
+    many cycles as full (Q, 128) ops (a one-lane column still occupies
+    whole vregs), so evaluating L x 2^D chains separately wastes ~L*2^D
+    the cycles — the fwd kernel was measured VPU-bound on exactly this
+    (bf16 matmuls only 12% faster than the 3-pass exact-f32 split).
+    One (Q, L*2^D)-shaped chain computes every pair in parallel lanes
+    with the exact same per-dim op order (pos = x*scale + 0.5, floor,
+    frac, +bit, *prime, xor), so results are bitwise identical; the
+    corner loop then just extracts its lane."""
+    D = spec.input_dim
+    n_corners = 1 << D
+    CL = spec.num_levels * n_corners
+    cl = jax.lax.broadcasted_iota(jnp.int32, (q, CL), 1)
+    corner = jax.lax.rem(cl, jnp.int32(n_corners))
+    h = jnp.zeros((q, CL), jnp.int32)
     w = None
-    for d in range(len(grids)):
-        bit = (ci >> d) & 1
-        cd = grids[d] + bit
+    for d in range(D):
+        pos = x_cols[d] * scale + 0.5                        # (Q, CL)
+        g = jnp.floor(pos)
+        f = pos - g
+        bit = (corner >> d) & 1
+        cd = g.astype(jnp.int32) + bit
         h = h ^ (cd * jnp.int32(primes[d]))
-        wd = jnp.where(bit == 1, fracs[d], 1.0 - fracs[d])
+        wd = jnp.where(bit == 1, f, 1.0 - f)
         w = wd if w is None else w * wd
     return h & (E - 1), w
+
+
+def _lane(x, ci, n_lanes):
+    """Extract lane ``ci`` of a (Q, n_lanes) array as (Q, 1)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    zero = jnp.zeros((), x.dtype)
+    return jnp.sum(jnp.where(lane == ci, x, zero), axis=1, keepdims=True)
 
 
 def _build_fwd_kernel(spec: HashGridSpec, E: int, n_rows: int,
@@ -123,7 +138,7 @@ def _build_fwd_kernel(spec: HashGridSpec, E: int, n_rows: int,
     D = spec.input_dim
     n_corners = 1 << D
 
-    def kernel(x_ref, tbl_ref, out_ref):
+    def kernel(x_ref, scl_ref, tbl_ref, out_ref):
         x_cols = [_col(x_ref, d) for d in range(D)]
         # out-of-range input -> all-zero features (gridencoder.cu:108-135)
         ok = None
@@ -142,19 +157,24 @@ def _build_fwd_kernel(spec: HashGridSpec, E: int, n_rows: int,
         odd_f = 1.0 - even_f
 
         primes = _primes_i32(spec)
+        # one lane-batched hash/weight chain for ALL (level, corner)
+        # pairs — bitwise identical to the per-corner chains it replaces
+        h_all, w_all = _all_hw(x_cols, scl_ref[:], spec, primes, E, q)
+        CL = L * n_corners
+
         feats = []
         for lvl in range(L):
-            grids, fracs = _grids_fracs(x_cols, spec, lvl)
             tbl = tbl_ref[lvl]
 
             UNROLL = 4
 
-            def body(cg, accA, grids=grids, fracs=fracs):
+            def body(cg, accA, lvl=lvl):
                 # UNROLL corners per iteration: the fori overhead dominates
                 # at 2^D x L x n_blocks iterations otherwise
                 for u in range(UNROLL):
                     ci = cg * UNROLL + u
-                    h, w = _corner_hw(ci, grids, fracs, primes, E)
+                    h = _lane(h_all, lvl * n_corners + ci, CL)
+                    w = _lane(w_all, lvl * n_corners + ci, CL)
                     row = h // 64
                     onehot = row_iota == row
                     # NOTE: Mosaic requires 32-bit matmul accumulators
@@ -187,7 +207,7 @@ def _build_bwd_kernel(spec: HashGridSpec, E: int, n_rows: int,
     L = spec.num_levels
     D = spec.input_dim
 
-    def kernel(x_ref, g_ref, dtbl_ref):
+    def kernel(x_ref, scl_ref, g_ref, dtbl_ref):
         i = pl.program_id(0)
 
         @pl.when(i == 0)
@@ -210,6 +230,8 @@ def _build_bwd_kernel(spec: HashGridSpec, E: int, n_rows: int,
         g_lane = jax.lax.broadcasted_iota(jnp.int32, g_ref.shape, 1)
         n_corners = 1 << D
         primes = _primes_i32(spec)
+        h_all, w_all = _all_hw(x_cols, scl_ref[:], spec, primes, E, q)
+        CL = L * n_corners
 
         for lvl in range(L):
             g0 = jnp.sum(jnp.where(g_lane == 2 * lvl, g_ref[:], 0.0),
@@ -219,10 +241,10 @@ def _build_bwd_kernel(spec: HashGridSpec, E: int, n_rows: int,
             # per-level cotangent panel: g0 at even lanes, g1 at odd —
             # per corner the pair mask selects its entry's two lanes
             g01 = even_f * g0 + odd_f * g1               # (q, 128)
-            grids, fracs = _grids_fracs(x_cols, spec, lvl)
 
-            def body(ci, dlvl, grids=grids, fracs=fracs, g01=g01):
-                h, w = _corner_hw(ci, grids, fracs, primes, E)
+            def body(ci, dlvl, lvl=lvl, g01=g01):
+                h = _lane(h_all, lvl * n_corners + ci, CL)
+                w = _lane(w_all, lvl * n_corners + ci, CL)
                 row = h // 64
                 onehot = row_iota == row
                 pair = (half_iota == h % 64).astype(jnp.float32)
@@ -235,6 +257,14 @@ def _build_bwd_kernel(spec: HashGridSpec, E: int, n_rows: int,
                 jnp.zeros((n_rows, LANES), jnp.float32))
 
     return kernel
+
+
+def _scales_lanes(spec: HashGridSpec) -> jnp.ndarray:
+    """(1, L*2^D) per-lane level scales, lane lvl*2^D + ci."""
+    n_corners = 1 << spec.input_dim
+    return jnp.asarray(np.repeat(
+        np.asarray(spec.scales[:spec.num_levels], np.float32),
+        n_corners))[None, :]
 
 
 def _prep_tables(table: jnp.ndarray, spec: HashGridSpec, E: int
@@ -284,12 +314,15 @@ def _encode_fwd(x, table, spec, dtk):
     xp = jnp.pad(x, ((0, pad), (0, 0)), constant_values=-10.0)
     nblk = xp.shape[0] // Q_BLK
     tbl = _prep_tables(table, spec, E)
+    scl = _scales_lanes(spec)
 
     out = pl.pallas_call(
         _build_fwd_kernel(spec, E, n_rows, dtk),
         grid=(nblk,),
         in_specs=[
             pl.BlockSpec((Q_BLK, spec.input_dim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(scl.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((spec.num_levels, n_rows, LANES),
                          lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
@@ -299,7 +332,7 @@ def _encode_fwd(x, table, spec, dtk):
         out_shape=jax.ShapeDtypeStruct((xp.shape[0], spec.output_dim),
                                        jnp.float32),
         interpret=_interpret(),
-    )(xp, tbl)
+    )(xp, scl, tbl)
     return out[:n], (x, table)
 
 
@@ -312,12 +345,15 @@ def _encode_bwd(spec, dtk, res, g):
     xp = jnp.pad(x, ((0, pad), (0, 0)), constant_values=-10.0)
     gp = jnp.pad(g, ((0, pad), (0, 0)))
     nblk = xp.shape[0] // Q_BLK
+    scl = _scales_lanes(spec)
 
     dtbl = pl.pallas_call(
         _build_bwd_kernel(spec, E, n_rows, dtk),
         grid=(nblk,),
         in_specs=[
             pl.BlockSpec((Q_BLK, spec.input_dim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(scl.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Q_BLK, spec.output_dim), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -328,7 +364,7 @@ def _encode_bwd(spec, dtk, res, g):
         out_shape=jax.ShapeDtypeStruct(
             (spec.num_levels, n_rows, LANES), jnp.float32),
         interpret=_interpret(),
-    )(xp, gp)
+    )(xp, scl, gp)
     dtable = _unprep_tables(dtbl, spec, E, table.shape[0])
     return jnp.zeros_like(x), dtable
 
