@@ -96,10 +96,37 @@ def occlude_with_objects(im: np.ndarray, occluders: List[np.ndarray],
     return result
 
 
+def occlude_at_joints(im: np.ndarray, occluders: List[np.ndarray],
+                      multiplier: float, joints: np.ndarray,
+                      mask: bool = True) -> np.ndarray:
+    """The reference's ACTIVE ``occlude_with_objects`` semantics
+    (`core/data/occnerf/occlude.py:95-152`): paste EVERY occluder in the
+    list, resized by ``multiplier``, centered at ``joints`` (a single xy
+    center), with ``mask=True`` whitening the occluder to ``255 - alpha``
+    (the shipped mask-cutout mode).  CHW inputs are transposed to HWC;
+    the returned image drops any alpha channel."""
+    result = (im.copy().transpose(1, 2, 0)
+              if im.shape[0] <= 3 else im.copy())
+    for occluder in occluders:
+        occluder = resize_by_factor(occluder, multiplier)
+        paste_over(im_src=occluder, im_dst=result, center=joints,
+                   mask=mask)
+    return result[:, :, :3]
+
+
 def paste_over(im_src: np.ndarray, im_dst: np.ndarray,
-               center: np.ndarray) -> None:
-    """Alpha-composite ``im_src`` (RGBA) onto ``im_dst`` (RGB) in place,
-    centered at ``center``, clipping at the borders."""
+               center: np.ndarray, mask: bool = False) -> None:
+    """Alpha-composite ``im_src`` (RGBA; RGB grows an alpha from channel
+    0, `occlude.py:190-193`) onto ``im_dst`` in place, centered at
+    ``center``, clipping at the borders.  ``mask=True`` replaces the
+    occluder colors with ``255 - alpha`` (the reference's shipped
+    whitened-cutout mode, `occlude.py:196-200`)."""
+    im_src = im_src.copy()
+    if im_src.shape[-1] == 3:
+        im_src = np.concatenate((im_src, im_src[:, :, [0]]), axis=-1)
+    if mask:
+        im_src[:, :, :3] = im_src[:, :, [-1]]
+        im_src[:, :, :3] = 255 - im_src[:, :, :3]
     wh_src = np.asarray([im_src.shape[1], im_src.shape[0]])
     wh_dst = np.asarray([im_dst.shape[1], im_dst.shape[0]])
 

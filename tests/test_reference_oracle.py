@@ -121,8 +121,12 @@ def _build_stubs():
         def __init__(self, *a, **k):
             self.output_dim = 32
 
+    skimage = _mk("skimage")
+    skimage.data = _mk("skimage.data")
+
     stubs = {
         "imp": _mk("imp", load_source=_load_source),
+        "skimage": skimage, "skimage.data": skimage.data,
         "torchvision": tv, "torchvision.transforms": tvt,
         "torchvision.models": tvm,
         "pykeops": pyk, "pykeops.torch": pykt,
@@ -161,6 +165,7 @@ def ref():
     try:
         import configs as ref_configs  # argparse + yacs merge side-effect
         from core.utils import body_util, camera_util, network_util
+        from core.data.occnerf import occlude as ref_occlude
         from core.data.occnerf import train as ref_train_mod
         from core.nets.occnerf import network as ref_network_mod
         from core.nets.occnerf.embedders import hannw_fourier
@@ -181,7 +186,7 @@ def ref():
         network_util=network_util, train_mod=ref_train_mod,
         network_mod=ref_network_mod, hannw=hannw_fourier,
         deconv=deconv_vol_decoder, pose_dec=mlp_delta_body_pose,
-        occ_mlp=occnerf_mlp, smpl=smpl_numpy)
+        occ_mlp=occnerf_mlp, smpl=smpl_numpy, occlude=ref_occlude)
 
     for name in installed:
         sys.modules.pop(name, None)
@@ -711,3 +716,48 @@ def test_train_dataset_patch_mode_matches_reference(
                 mine["ray_valid"][blk], m.astype(np.float32))
     finally:
         os.chdir(old_cwd)
+
+
+# ---------------------------------------------------------------------------
+# 11. occluder compositor (dormant utility, active-path semantics)
+# ---------------------------------------------------------------------------
+
+def test_occlude_compositor_matches_reference(ref):
+    from occnerf_tpu.data import occlude as my_occ
+
+    rng = np.random.default_rng(12)
+
+    # resize_by_factor: bilinear up / area down
+    im = rng.integers(0, 255, (21, 17, 4)).astype(np.uint8)
+    for factor in (0.4, 1.0, 2.3):
+        np.testing.assert_array_equal(
+            my_occ.resize_by_factor(im, factor),
+            ref.occlude.resize_by_factor(im, factor))
+
+    # paste_over, mask on/off, RGBA and RGB sources, border clipping
+    for mask in (False, True):
+        for center in ((15.0, 20.0), (2.0, 2.0), (38.0, 29.0)):
+            for ch in (4, 3):
+                src = rng.integers(0, 255, (9, 11, ch)).astype(np.uint8)
+                dst_ref = rng.integers(0, 255, (30, 40, 3)).astype(
+                    np.uint8)
+                dst_my = dst_ref.copy()
+                ref.occlude.paste_over(src.copy(), dst_ref,
+                                       np.array(center), mask=mask)
+                my_occ.paste_over(src.copy(), dst_my,
+                                  np.array(center), mask=mask)
+                np.testing.assert_array_equal(dst_my, dst_ref)
+
+    # occlude_with_objects (active path: every occluder at `joints`,
+    # whitened cutout) vs occlude_at_joints
+    occluders = [rng.integers(0, 255, (12, 9, 4)).astype(np.uint8)
+                 for _ in range(3)]
+    im = rng.integers(0, 255, (48, 48, 3)).astype(np.uint8)
+    joints = np.array([25.0, 18.0])
+    out_ref = ref.occlude.occlude_with_objects(
+        im.copy(), [o.copy() for o in occluders], multiplier=1.4,
+        joints=joints, mask=True)
+    out_my = my_occ.occlude_at_joints(
+        im.copy(), [o.copy() for o in occluders], multiplier=1.4,
+        joints=joints, mask=True)
+    np.testing.assert_array_equal(out_my, out_ref)
