@@ -53,6 +53,10 @@ def main() -> None:
     ap.add_argument("--proxy", action="store_true",
                     help="rank compaction with the half-res upper-bound "
                          "volume (tpu.motion_rank_proxy)")
+    ap.add_argument("--obs-proxy", action="store_true",
+                    help="bake the ranking bound into one obs-space "
+                         "volume per frame (tpu.obs_rank_proxy; needs "
+                         "--proxy)")
     ap.add_argument("--knn-recall", type=float, default=0.95,
                     help="approx_max_k recall target (tpu.knn_recall)")
     ap.add_argument("--n-verts", type=int, default=1024,
@@ -79,6 +83,7 @@ def main() -> None:
     c.tpu.rank_compute_dtype = args.rank_dtype
     c.tpu.compute_dtype = args.compute_dtype
     c.tpu.motion_rank_proxy = args.proxy
+    c.tpu.obs_rank_proxy = args.obs_proxy
     c.tpu.knn_recall = args.knn_recall
     c.logdir = os.path.join(tmp, "logs")
     set_cfg(c)
@@ -117,7 +122,7 @@ def main() -> None:
           f"{args.eval_chunk}, compaction {args.compaction}, "
           f"eval_compaction {args.eval_compaction}, "
           f"eval_dtype {args.eval_dtype}, proxy {args.proxy}, "
-          f"knn_recall {args.knn_recall})")
+          f"obs_proxy {args.obs_proxy}, knn_recall {args.knn_recall})")
     if args.dump:
         np.save(args.dump, np.asarray(rgb, dtype=np.float32))
         print(f"rgb dumped to {args.dump}")

@@ -16,8 +16,10 @@ Point it at a leftover ``ab_compaction.py`` run (its tempdirs persist):
         --subject /tmp/.../subject --logdir /tmp/.../logs \
         --arms "follow,2048,float32;0.25,4096,bfloat16"
 
-Each arm is ``eval_compaction,eval_chunk,eval_dtype`` — compaction
-``follow`` keeps the train-side fraction (eval_sample_compaction=-1).
+Each arm is ``eval_compaction,eval_chunk,eval_dtype[,obs]`` —
+compaction ``follow`` keeps the train-side fraction
+(eval_sample_compaction=-1); a 4th token ``obs`` turns on
+``tpu.obs_rank_proxy`` (baked observation-space ranking volume).
 """
 
 from __future__ import annotations
@@ -72,17 +74,21 @@ def main() -> None:
     import eval as eval_entry
 
     for arm in args.arms.split(";"):
-        ec_s, chunk_s, dtype = [t.strip() for t in arm.split(",")]
+        toks = [t.strip() for t in arm.split(",")]
+        ec_s, chunk_s, dtype = toks[:3]
+        obs = len(toks) > 3 and toks[3] == "obs"
         ec = -1.0 if ec_s == "follow" else float(ec_s)
         cfg.tpu.eval_sample_compaction = ec
         cfg.tpu.eval_chunk = int(chunk_s)
         cfg.tpu.eval_compute_dtype = dtype
+        cfg.tpu.obs_rank_proxy = obs
         t0 = time.time()
         means = eval_entry.eval_model(
-            render_folder_name=f"evalknobs_{ec_s}_{chunk_s}_{dtype}",
+            render_folder_name="evalknobs_%s_%s_%s%s" % (
+                ec_s, chunk_s, dtype, "_obs" if obs else ""),
             show_truth=False, show_alpha=False)
         means.update({"eval_compaction": ec, "eval_chunk": int(chunk_s),
-                      "eval_dtype": dtype,
+                      "eval_dtype": dtype, "obs_rank_proxy": obs,
                       "wall_sec": round(time.time() - t0, 1)})
         print("EVALKNOBS_RESULT " + json.dumps(means), flush=True)
 

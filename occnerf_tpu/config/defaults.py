@@ -214,6 +214,12 @@ def get_default_cfg() -> CfgNode:
         # pass — ~4x cheaper ranking; the kept rows then get the exact
         # full-res motion pass (train: differentiable; eval: no-grad)
         motion_rank_proxy=False,
+        # EVAL-path refinement of motion_rank_proxy: bake the per-bone
+        # ranking bound into ONE observation-space volume per frame
+        # (ops/trilinear.build_obs_proxy) so ranking costs a single
+        # volume lookup per sample instead of total_bones lookups.
+        # Requires motion_rank_proxy; training path is unaffected.
+        obs_rank_proxy=False,
         # matmul compute mode for the STOP-GRADIENT ranking pass of
         # two-pass compacted training (models/network.py); accepts
         # 'float32' | 'tfloat32' | 'bfloat16' like compute_dtype.

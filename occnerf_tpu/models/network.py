@@ -33,8 +33,9 @@ import jax.numpy as jnp
 from ..config import cfg as global_cfg
 from ..ops.knn import knn, multiscale_knn_concat
 from ..ops.raymarch import raw2outputs, sample_zvals, stratify_zvals
-from ..ops.trilinear import (pool_dilate_volume, sample_motion_fields,
-                             sample_motion_proxy)
+from ..ops.trilinear import (build_obs_proxy, pool_dilate_volume,
+                             sample_motion_fields, sample_motion_proxy,
+                             sample_obs_proxy)
 from ..utils.mesh import multiscale_fps_indices, vertex_normals
 from .canonical import OccNeRFCanonicalMLP, VanillaCanonicalMLP, \
     _cosine_similarity, _safe_norm
@@ -85,6 +86,15 @@ class NetworkConfig:
     # proxy volume instead of the full-res motion pass (~4x cheaper
     # ranking; kept rows still get the exact full-res pass)
     motion_rank_proxy: bool = False
+    # EVAL-path only: bake the per-bone ranking bound into ONE
+    # observation-space volume per frame (ops/trilinear.build_obs_proxy)
+    # so ranking costs 1 lookup/sample instead of total_bones (~24x less
+    # ranking MXU work).  Requires motion_rank_proxy; no effect on
+    # training (per-item motion transforms would need a rebuild per
+    # item, and the train ranking pass is a much smaller share of step
+    # time).  Gated like every eval knob on a fixed-checkpoint metric
+    # A/B before promotion (docs/ROADMAP.md).
+    obs_rank_proxy: bool = False
 
     canonical_module: str = "core.nets.occnerf.canonical_mlps.occnerf_mlp"
     cnl_mlp_depth: int = 4
@@ -141,6 +151,8 @@ class NetworkConfig:
                 "eval_compute_dtype", "float32"),
             motion_rank_proxy=bool(c.get("tpu", {}).get(
                 "motion_rank_proxy", False)),
+            obs_rank_proxy=bool(c.get("tpu", {}).get(
+                "obs_rank_proxy", False)),
             canonical_module=c.canonical_mlp.module,
             cnl_mlp_depth=c.canonical_mlp.mlp_depth,
             cnl_mlp_width=c.canonical_mlp.mlp_width,
@@ -435,7 +447,8 @@ class Network:
                       motion_scale_Rs, motion_Ts, motion_weights_vol,
                       cnl_bbox_min_xyz, cnl_bbox_scale_xyz,
                       *, training, ignore_non_rigid, perturb, rng,
-                      vertex_quant, vert_feat, proxy_vol=None):
+                      vertex_quant, vert_feat, proxy_vol=None,
+                      obs_proxy=None):
         c = self.cfg
         n = rays_o.shape[0]
         z_vals = sample_zvals(near, far, c.n_samples)
@@ -480,11 +493,18 @@ class Network:
                    and c.rank_compute_dtype != "float32" else eval_dt)
         x_skel = fg_mask_raw = flat = None
         if use_proxy:
-            ub = sample_motion_proxy(
-                pts, sg(motion_scale_Rs), sg(motion_Ts), sg(proxy_vol),
-                cnl_bbox_min_xyz, cnl_bbox_scale_xyz,
-                fine_size=motion_weights_vol.shape[1],
-                compute_dtype=rank_dt)
+            if obs_proxy is not None and not training:
+                # eval-only (cfg.tpu.obs_rank_proxy): the frame's bound
+                # is baked into one observation-space volume — ranking
+                # is a single lookup per sample instead of B bones
+                ub = sample_obs_proxy(pts, *obs_proxy,
+                                      compute_dtype=rank_dt)
+            else:
+                ub = sample_motion_proxy(
+                    pts, sg(motion_scale_Rs), sg(motion_Ts), sg(proxy_vol),
+                    cnl_bbox_min_xyz, cnl_bbox_scale_xyz,
+                    fine_size=motion_weights_vol.shape[1],
+                    compute_dtype=rank_dt)
             # padded rays must never crowd real samples out of the kept
             # set (and must composite to exactly bgcolor)
             fg_rank = ub * ray_valid[:, None, None]
@@ -709,6 +729,29 @@ class Network:
         if ray_valid is None:
             ray_valid = jnp.ones((rays_o.shape[0],), jnp.float32)
         bgcolor = batch["bgcolor"]
+        obs_proxy = None
+        if (proxy_vol is not None and not training
+                and self.cfg.obs_rank_proxy):
+            # eval-only: bake the B-bone ranking bound into one
+            # observation-space volume per frame (all chunks of a frame
+            # share the motion transforms).  Every sample lies between
+            # its ray's near/far endpoints, so the endpoints' AABB over
+            # the valid rays bounds the frame's sample support.
+            ends = jnp.stack([rays_o + rays_d * near,
+                              rays_o + rays_d * far])        # (2, N, 3)
+            v = (ray_valid > 0)[None, :, None]
+            obs_min = jnp.min(jnp.where(v, ends, jnp.inf), axis=(0, 1))
+            obs_max = jnp.max(jnp.where(v, ends, -jnp.inf), axis=(0, 1))
+            # all-padded guard (never in practice): collapse to a point
+            obs_min = jnp.where(jnp.isfinite(obs_min), obs_min, 0.0)
+            obs_max = jnp.where(jnp.isfinite(obs_max), obs_max, 0.0)
+            edt = (self.cfg.eval_compute_dtype
+                   if self.cfg.eval_compute_dtype != "float32" else None)
+            obs_proxy = build_obs_proxy(
+                proxy_vol, motion_scale_Rs, motion_Ts,
+                batch["cnl_bbox_min_xyz"], batch["cnl_bbox_scale_xyz"],
+                obs_min, obs_max,
+                fine_size=motion_weights_vol.shape[1], compute_dtype=edt)
         N = rays_o.shape[0]
         if chunk is None:
             if self.is_occnerf_mlp:
@@ -728,7 +771,7 @@ class Network:
             cnl_bbox_scale_xyz=batch["cnl_bbox_scale_xyz"],
             training=training, ignore_non_rigid=ignore_non_rigid,
             perturb=perturb, vertex_quant=vertex_quant,
-            vert_feat=vert_feat, proxy_vol=proxy_vol)
+            vert_feat=vert_feat, proxy_vol=proxy_vol, obs_proxy=obs_proxy)
 
         if N <= chunk:
             out = self._render_chunk(params, statics, state, rays_o, rays_d,

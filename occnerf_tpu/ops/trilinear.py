@@ -173,6 +173,95 @@ def sample_motion_proxy(pts: jnp.ndarray,
     return jnp.sum(ub, axis=0).reshape(*orig_shape, 1)
 
 
+def build_obs_proxy(proxy_vols: jnp.ndarray,
+                    motion_scale_Rs: jnp.ndarray,
+                    motion_Ts: jnp.ndarray,
+                    cnl_bbox_min_xyz: jnp.ndarray,
+                    cnl_bbox_scale_xyz: jnp.ndarray,
+                    obs_min: jnp.ndarray,
+                    obs_max: jnp.ndarray,
+                    fine_size: int = 32,
+                    obs_fine: int = 64,
+                    factor: int = 2,
+                    compute_dtype=None):
+    """OBSERVATION-space ranking proxy volume, built once per frame.
+
+    The per-sample compaction ranking (:func:`sample_motion_proxy`) pays
+    B bone-volume lookups per sample because each bone warps the sample
+    into its own canonical frame.  At render time every ray chunk of a
+    frame shares ONE set of motion transforms, so the B-bone bound can be
+    baked into a single observation-space volume: evaluate the canonical
+    proxy bound on an ``obs_fine``^3 grid spanning the frame's sample
+    bbox, then max-pool by ``factor`` + 1-cell dilate (the
+    :func:`pool_dilate_volume` construction).  Per-sample ranking then
+    costs ONE volume lookup instead of B (~24x less ranking MXU work;
+    the grid evaluation amortizes over every sample of the frame).
+
+    Bound caveat (vs the per-sample proxy, which is a true upper bound at
+    every point): the grid only SAMPLES the canonical bound, whose tent
+    kinks can peak between obs-grid points, so the baked volume can
+    under-estimate by up to one canonical-proxy tent slope step over half
+    an obs cell (obs cells are ~4x finer than the 16^3 canonical proxy
+    cells at default sizes, and the 3^3 dilation absorbs most of it).
+    A miss only re-orders marginal low-mass samples in the ranking —
+    the same accepted failure mode as proxy-vs-exact ranking itself
+    (see pool_dilate_volume); promotion is gated on a fixed-checkpoint
+    eval A/B like every other eval-path knob (docs/ROADMAP.md).
+
+    Returns ``(vol, obs_min, obs_step)``: the (S,S,S) [z,y,x] volume plus
+    the mapping for :func:`sample_obs_proxy`.
+    """
+    idx = jnp.arange(obs_fine, dtype=jnp.float32)
+    # degenerate-extent guard (flat bbox in some dim, e.g. tiny tests)
+    step = jnp.maximum((obs_max - obs_min) / float(obs_fine - 1), 1e-6)
+    # grid points in [z, y, x] volume layout: z slowest, x fastest
+    gz, gy, gx = jnp.meshgrid(idx, idx, idx, indexing="ij")
+    pts = jnp.stack([obs_min[0] + gx * step[0],
+                     obs_min[1] + gy * step[1],
+                     obs_min[2] + gz * step[2]], axis=-1)     # (F,F,F,3)
+    ub = sample_motion_proxy(pts.reshape(-1, 3), motion_scale_Rs,
+                             motion_Ts, proxy_vols, cnl_bbox_min_xyz,
+                             cnl_bbox_scale_xyz, fine_size=fine_size,
+                             compute_dtype=compute_dtype)
+    vol = ub.reshape(obs_fine, obs_fine, obs_fine)
+    vol = pool_dilate_volume(vol[None], factor=factor)[0]
+    return vol, obs_min, step
+
+
+def sample_obs_proxy(pts: jnp.ndarray,
+                     obs_vol: jnp.ndarray,
+                     obs_min: jnp.ndarray,
+                     obs_step: jnp.ndarray,
+                     factor: int = 2,
+                     use_pallas: bool | None = None,
+                     compute_dtype=None) -> jnp.ndarray:
+    """Rank bound per sample from the baked observation-space volume.
+
+    Same tent-at-coarse-coordinate convention as
+    :func:`sample_motion_proxy` (clamped top cell, exact 0 far out of
+    support), but ONE volume lookup per sample regardless of bone count.
+    """
+    orig_shape = pts.shape[:-1]
+    p = pts.reshape(-1, 3)
+    side = obs_vol.shape[0]
+    f = (p - obs_min[None, :]) / obs_step[None, :]            # fine idx
+    fc = (f / float(factor)).T                                # (3, N)
+    in_support = jnp.all((fc > -0.5) & (fc < float(side)), axis=0)
+    fc = jnp.where(in_support[None, :],
+                   jnp.minimum(fc, float(side - 1)), -10.0)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from .motion_pallas import trilinear_bone_weights
+        ub = trilinear_bone_weights(obs_vol[None], fc[0][None],
+                                    fc[1][None], fc[2][None],
+                                    compute_dtype=compute_dtype)
+    else:
+        ub = _flat_trilinear(obs_vol[None], fc[0][None], fc[1][None],
+                             fc[2][None])                     # (1, N)
+    return ub[0].reshape(*orig_shape, 1)
+
+
 def sample_motion_fields(pts: jnp.ndarray,
                          motion_scale_Rs: jnp.ndarray,
                          motion_Ts: jnp.ndarray,

@@ -444,6 +444,70 @@ def test_motion_rank_proxy_exact(setup):
                                    atol=2e-4)
 
 
+def test_obs_rank_proxy_eval_exact(setup):
+    """Baked observation-space ranking (tpu.obs_rank_proxy: one volume
+    lookup per sample instead of B bone lookups, eval only) reproduces
+    the per-bone proxy eval forward exactly in the K-covers-positives
+    regime, and leaves the training path untouched (flag has no effect
+    when training=True)."""
+    _, _, state0, _, batch = setup
+    from occnerf_tpu.smpl.model import SMPL, save_model, \
+        synthetic_smpl_model as _ssm
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    save_model(_ssm(n_verts=128, seed=2), os.path.join(
+        d, "basicModel_neutral_lbs_10_207_0_v1.0.0.pkl"))
+    smpl = SMPL(model_dir=d)
+    verts, joints = smpl(np.zeros(72), np.zeros(10))
+
+    def make(obs):
+        cfg = NetworkConfig(
+            n_samples=64, chunk=32, knn_backend="exact",
+            sample_compaction=0.5, motion_rank_proxy=True,
+            obs_rank_proxy=obs,
+            cnl_mlp_depth=2, cnl_mlp_width=32,
+            cnl_num_levels=4, cnl_log2_hashmap_size=10,
+            cnl_base_resolution=4,
+            mweight_embedding_size=32, mweight_volume_size=8,
+            nr_mlp_width=16, nr_mlp_depth=3, nr_skips=(2,),
+            nr_kick_in_iter=10, nr_full_band_iter=100,
+            pose_mlp_width=32, pose_mlp_depth=2, pose_kick_in_iter=50)
+        return Network(cfg)
+
+    net_prx, net_obs = make(False), make(True)
+    statics = net_prx.generate_neural_points(verts, joints, smpl.faces)
+    net_obs.generate_neural_points(verts, joints, smpl.faces)
+    params, state = net_prx.init(jax.random.PRNGKey(0), statics)
+
+    # sparse scene (far = 10: most samples far outside the body) so K
+    # covers every OBS-positive sample — the baked bound is looser than
+    # the per-bone bound (it dominates it, see
+    # test_obs_proxy_bounds_grid_interp), so its positive set is larger
+    # and needs even more empty space for the covering condition
+    b = dict(batch)
+    b["far"] = jnp.full_like(batch["far"], 10.0)
+    ev_p, _ = net_prx.forward(params, statics, state, b, 1e7,
+                              training=False)
+    ev_o, _ = net_obs.forward(params, statics, state, b, 1e7,
+                              training=False)
+    np.testing.assert_allclose(np.asarray(ev_p["rgb"]),
+                               np.asarray(ev_o["rgb"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ev_p["depth"]),
+                               np.asarray(ev_o["depth"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ev_p["alpha"]),
+                               np.asarray(ev_o["alpha"]), atol=1e-5)
+
+    # the flag must be inert in training: identical outputs AND counter
+    tr_p, st_p = net_prx.forward(params, statics, state, b, 100.0,
+                                 training=True, perturb=0.0)
+    tr_o, st_o = net_obs.forward(params, statics, state, b, 100.0,
+                                 training=True, perturb=0.0)
+    np.testing.assert_array_equal(np.asarray(tr_p["rgb"]),
+                                  np.asarray(tr_o["rgb"]))
+    np.testing.assert_array_equal(np.asarray(st_p["point_counter"]),
+                                  np.asarray(st_o["point_counter"]))
+
+
 def test_proxy_eval_padded_rays_composite_to_bg(setup):
     """Eval-bucket padding (ray_valid = 0, near = far = 0) under
     proxy-ranked compaction: padded rays composite to exactly bgcolor

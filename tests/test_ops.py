@@ -580,3 +580,71 @@ def test_motion_proxy_upper_bounds_exact():
     ub_far = sample_motion_proxy(far, Rs, Ts, proxy, mn, scale,
                                  use_pallas=False)
     assert float(fg_far[0, 0]) == 0.0 and float(ub_far[0, 0]) == 0.0
+
+
+def test_obs_proxy_bounds_grid_interp():
+    """The baked observation-space ranking volume (tpu.obs_rank_proxy,
+    ops/trilinear.build_obs_proxy): (a) at its own grid points it
+    upper-bounds the per-bone canonical proxy it was built from; (b) at
+    arbitrary in-bbox points it upper-bounds the trilinear interpolation
+    of the grid sampling (the pool_dilate_volume bound, applied to the
+    obs grid); (c) far outside the frame bbox it is exactly 0."""
+    import jax.numpy as jnp
+
+    from occnerf_tpu.ops.trilinear import (_flat_trilinear,
+                                           build_obs_proxy,
+                                           pool_dilate_volume,
+                                           sample_motion_proxy,
+                                           sample_obs_proxy)
+
+    rng = np.random.default_rng(11)
+    B, F = 5, 32
+    vols = jnp.asarray(rng.uniform(size=(B, F, F, F)).astype(np.float32))
+    proxy = pool_dilate_volume(vols)            # canonical ranking proxy
+    Rs = jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
+                     + rng.normal(0, 0.05, (B, 3, 3)).astype(np.float32))
+    Ts = jnp.asarray(rng.normal(0, 0.3, (B, 3)).astype(np.float32))
+    mn = jnp.asarray(np.float32([-1.2, -1.1, -1.3]))
+    scale = jnp.asarray(np.float32([0.9, 1.0, 0.8]))
+    obs_min = jnp.asarray(np.float32([-2.0, -1.8, -2.2]))
+    obs_max = jnp.asarray(np.float32([1.9, 2.1, 1.7]))
+    OF = 64
+    vol, omin, ostep = build_obs_proxy(
+        proxy, Rs, Ts, mn, scale, obs_min, obs_max,
+        fine_size=2 * F, obs_fine=OF)
+
+    # (a) at the obs grid points the baked volume dominates the
+    # canonical proxy bound (pool+dilate >= original at every grid pt)
+    idx = np.arange(OF, dtype=np.float32)
+    gz, gy, gx = np.meshgrid(idx, idx, idx, indexing="ij")
+    gpts = jnp.asarray(np.stack(
+        [np.asarray(omin)[0] + gx * np.asarray(ostep)[0],
+         np.asarray(omin)[1] + gy * np.asarray(ostep)[1],
+         np.asarray(omin)[2] + gz * np.asarray(ostep)[2]],
+        axis=-1).reshape(-1, 3).astype(np.float32))
+    sub = gpts[:: 37]                            # keep the test fast
+    ub_cnl = np.asarray(sample_motion_proxy(
+        sub, Rs, Ts, proxy, mn, scale, fine_size=2 * F,
+        use_pallas=False))[:, 0]
+    ub_obs = np.asarray(sample_obs_proxy(
+        sub, vol, omin, ostep, use_pallas=False))[:, 0]
+    assert (ub_obs >= ub_cnl - 1e-5).all(), \
+        f"obs proxy below canonical bound by {float((ub_cnl-ub_obs).max())}"
+
+    # (b) arbitrary in-bbox points dominate the grid interpolation
+    pts = jnp.asarray(rng.uniform(-2.4, 2.4, (3000, 3)).astype(np.float32))
+    grid_vals = sample_motion_proxy(
+        gpts, Rs, Ts, proxy, mn, scale, fine_size=2 * F,
+        use_pallas=False).reshape(OF, OF, OF)
+    f = ((pts - omin[None, :]) / ostep[None, :]).T
+    interp = np.asarray(_flat_trilinear(
+        grid_vals[None], f[0][None], f[1][None], f[2][None]))[0]
+    ub_any = np.asarray(sample_obs_proxy(
+        pts, vol, omin, ostep, use_pallas=False))[:, 0]
+    assert (ub_any >= interp - 1e-5).all(), \
+        f"obs proxy below grid interp by {float((interp-ub_any).max())}"
+
+    # (c) far out of the frame bbox: exactly 0
+    far = jnp.asarray(np.float32([[40.0, -40.0, 40.0]]))
+    assert float(sample_obs_proxy(far, vol, omin, ostep,
+                                  use_pallas=False)[0, 0]) == 0.0
