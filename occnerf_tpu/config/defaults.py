@@ -247,6 +247,12 @@ def get_default_cfg() -> CfgNode:
         # fits in the fraction; see models/network.py
         sample_compaction=1.0,
         prefetch=2,                 # host->device prefetch depth
+        # write checkpoints on a background thread after a device-side
+        # snapshot (train/checkpoint.py AsyncCheckpointer): hides the
+        # ~780 MB device->host transfer + npz write behind training
+        # compute.  Identical bytes on disk; the Trainer drains the
+        # queue at end of training and before any abort
+        async_checkpoint=False,
         seed=42,
         profile_dir="",             # jax profiler trace dir ("" = off)
         profile_steps=5,            # iterations captured per trace

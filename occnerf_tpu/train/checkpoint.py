@@ -16,9 +16,12 @@ is.
 from __future__ import annotations
 
 import os
-from typing import Any, Dict
+import queue
+import threading
+from typing import Any, Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -53,6 +56,99 @@ def save_ckpt(logdir: str, name: str, *, iter_val: int, params: Any,
     np.savez(tmp, **arrays)
     os.replace(tmp, path)
     return path
+
+
+class AsyncCheckpointer:
+    """Background checkpoint writer (``cfg.tpu.async_checkpoint``).
+
+    ``save_ckpt`` blocks training for the full device->host transfer +
+    npz write — ~780 MB (params + two Adam moments of the 1024-channel
+    deconv decoder) per save, which on a tunneled device costs minutes
+    of train stall per ``latest`` refresh.  The TPU-native fix is to
+    overlap: snapshot the pytrees DEVICE-side (an HBM->HBM copy at
+    memory bandwidth, microseconds-scale), then run the existing
+    device_get + write on a worker thread while training continues.
+
+    The device-side snapshot is load-bearing, not an optimization: the
+    train step DONATES its params/opt_state buffers, so by the time the
+    worker thread fetches them the originals may have been invalidated
+    by the next step — the copies are referenced only here and stay
+    alive until written.
+
+    Saves are sequential (one worker, FIFO), so a later ``latest``
+    can never be overwritten by an earlier one.  ``wait()`` drains the
+    queue and re-raises the first worker error; callers must drain
+    before treating a checkpoint as durable (the Trainer waits at end
+    of training and on the non-finite abort path).
+    """
+
+    def __init__(self) -> None:
+        self._q: "queue.Queue[Optional[tuple]]" = queue.Queue()
+        self._err: Optional[BaseException] = None
+        self._pending = 0
+        self._lock = threading.Lock()
+        self._done = threading.Condition(self._lock)
+        self._worker = threading.Thread(
+            target=self._run, name="ckpt-writer", daemon=True)
+        self._worker.start()
+
+    @staticmethod
+    def _snapshot(tree: Any) -> Any:
+        # copy jax.Array leaves on device; host leaves pass through
+        # (they are immutable-by-convention statics / python scalars)
+        return jax.tree_util.tree_map(
+            lambda x: jnp_copy(x) if isinstance(x, jax.Array) else x, tree)
+
+    def save(self, logdir: str, name: str, *, iter_val: int, params: Any,
+             state: Any, opt_state: Any = None) -> str:
+        self._raise_if_failed()
+        snap = (self._snapshot(params), self._snapshot(state),
+                self._snapshot(opt_state))
+        with self._lock:
+            self._pending += 1
+        self._q.put((logdir, name, iter_val, snap))
+        return ckpt_path(logdir, name)
+
+    def _run(self) -> None:
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            logdir, name, iter_val, (params, state, opt_state) = item
+            try:
+                if self._err is None:
+                    save_ckpt(logdir, name, iter_val=iter_val,
+                              params=params, state=state,
+                              opt_state=opt_state)
+            except BaseException as e:  # surfaced by wait()/next save
+                self._err = e
+            finally:
+                with self._done:
+                    self._pending -= 1
+                    self._done.notify_all()
+
+    def wait(self) -> None:
+        """Block until every enqueued save is on disk; re-raise the
+        first worker failure."""
+        with self._done:
+            while self._pending > 0:
+                self._done.wait()
+        self._raise_if_failed()
+
+    def _raise_if_failed(self) -> None:
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise RuntimeError("async checkpoint write failed") from err
+
+    def close(self) -> None:
+        self.wait()
+        self._q.put(None)
+        self._worker.join(timeout=5.0)
+
+
+def jnp_copy(x: jax.Array) -> jax.Array:
+    """Device-side defensive copy (HBM->HBM; never via host)."""
+    return jnp.array(x, copy=True)
 
 
 def load_ckpt(logdir: str, name: str, *, params_template: Any,

@@ -96,6 +96,10 @@ class Trainer:
                       f"divisible by {mesh.devices.size} devices; "
                       "training single-device")
 
+        self._async_ckpt = None
+        if cfg.get("tpu", {}).get("async_checkpoint", False):
+            self._async_ckpt = ckpt.AsyncCheckpointer()
+
         self.iter = 0
         if cfg.resume and ckpt.ckpt_exists(self.logdir, cfg.load_net):
             self.load_ckpt(cfg.load_net)
@@ -317,7 +321,12 @@ class Trainer:
                 self._check_finite(loss)
                 self.save_ckpt(f"iter_{self.iter}")
             self.iter += 1
-        return self.iter > cfg.train.maxiter
+        done = self.iter > cfg.train.maxiter
+        if done:
+            # training complete: a checkpoint is only durable once the
+            # background writer has flushed it
+            self.wait_ckpt()
+        return done
 
     # ------------------------------------------------------------------
     def _check_finite(self, loss) -> None:
@@ -325,6 +334,9 @@ class Trainer:
         every later iter and checkpoint — stop so the last finite
         checkpoint stays usable."""
         if not np.isfinite(float(loss)):
+            # flush the (finite) checkpoints already enqueued before
+            # aborting — they are exactly the state worth keeping
+            self.wait_ckpt()
             raise FloatingPointError(
                 f"non-finite training loss at iter {self.iter}; "
                 "aborting before overwriting checkpoints")
@@ -422,10 +434,21 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def save_ckpt(self, name: str):
+        if self._async_ckpt is not None:
+            path = self._async_ckpt.save(
+                self.logdir, name, iter_val=self.iter, params=self.params,
+                state=self.state, opt_state=self.opt_state)
+            print(f"save checkpoint to {path} (async) ...")
+            return
         path = ckpt.save_ckpt(self.logdir, name, iter_val=self.iter,
                               params=self.params, state=self.state,
                               opt_state=self.opt_state)
         print(f"save checkpoint to {path} ...")
+
+    def wait_ckpt(self) -> None:
+        """Drain pending async checkpoint writes (no-op when sync)."""
+        if self._async_ckpt is not None:
+            self._async_ckpt.wait()
 
     def load_ckpt(self, name: str):
         print(f"load network from {ckpt.ckpt_path(self.logdir, name)} ...")

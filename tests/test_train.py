@@ -142,6 +142,87 @@ def test_checkpoint_roundtrip(tmp_path):
                      state_template=state, opt_state_template=None)
 
 
+def test_async_checkpoint_matches_sync_and_survives_mutation(tmp_path):
+    """AsyncCheckpointer writes the enqueued pytree values and is immune
+    to the caller mutating (donating) its buffers after enqueue."""
+    from occnerf_tpu.train import checkpoint as ck
+    params = {"a": jnp.arange(6, dtype=jnp.float32).reshape(2, 3),
+              "b": [jnp.zeros(2), jnp.ones(3)]}
+    state = {"counter": jnp.full((5,), 7.0)}
+    opt = {"mu": {"a": jnp.ones((2, 3))}}
+
+    saver = ck.AsyncCheckpointer()
+    try:
+        saver.save(str(tmp_path), "first", iter_val=9, params=params,
+                   state=state, opt_state=opt)
+        first_a = np.asarray(params["a"])
+        # emulate buffer donation: the caller's arrays move on while the
+        # writer is (possibly) still flushing
+        params["a"] = params["a"] * 0.0 - 5.0
+        state["counter"] = state["counter"] + 100.0
+        saver.save(str(tmp_path), "latest", iter_val=10, params=params,
+                   state=state, opt_state=opt)
+        saver.wait()
+    finally:
+        saver.close()
+
+    tmpl = {"a": jnp.zeros((2, 3)), "b": [jnp.zeros(2), jnp.zeros(3)]}
+    st_t = {"counter": jnp.zeros(5)}
+    op_t = {"mu": {"a": jnp.zeros((2, 3))}}
+    r1 = ck.load_ckpt(str(tmp_path), "first", params_template=tmpl,
+                      state_template=st_t, opt_state_template=op_t)
+    # pre-mutation values survived in the first save
+    assert r1["iter"] == 9
+    np.testing.assert_array_equal(np.asarray(r1["params"]["a"]), first_a)
+    np.testing.assert_array_equal(np.asarray(r1["state"]["counter"]),
+                                  np.full((5,), 7.0))
+    r2 = ck.load_ckpt(str(tmp_path), "latest", params_template=tmpl,
+                      state_template=st_t, opt_state_template=op_t)
+    assert r2["iter"] == 10
+    np.testing.assert_array_equal(np.asarray(r2["params"]["a"]),
+                                  np.full((2, 3), -5.0))
+    np.testing.assert_array_equal(np.asarray(r2["state"]["counter"]),
+                                  np.full((5,), 107.0))
+
+
+def test_async_checkpoint_error_surfaces(tmp_path):
+    from occnerf_tpu.train import checkpoint as ck
+    saver = ck.AsyncCheckpointer()
+    # unwritable logdir: a FILE occupies the path
+    blocked = tmp_path / "logs"
+    blocked.write_text("not a directory")
+    saver.save(str(blocked), "latest", iter_val=1,
+               params={"a": jnp.zeros(2)}, state={}, opt_state=None)
+    with pytest.raises(RuntimeError, match="async checkpoint"):
+        saver.wait()
+
+
+def test_trainer_async_checkpoint_end_to_end(subject_dir, tmp_path):
+    """Trainer with tpu.async_checkpoint writes a resumable 'latest'
+    the sync path restores identically."""
+    _tiny_cfg(subject_dir, tmp_path)
+    cfg.tpu.async_checkpoint = True
+    from occnerf_tpu.data import create_dataloader
+    from occnerf_tpu.train import create_trainer
+
+    network, statics, params, state = _build(subject_dir)
+    trainer = create_trainer(network, statics, params, state)
+    loader = create_dataloader("train")
+    trainer.train(epoch=1, dataloader=loader)
+    trainer.save_ckpt("latest")
+    trainer.wait_ckpt()
+    saved_iter = trainer.iter
+
+    cfg.resume = True
+    cfg.tpu.async_checkpoint = False
+    network2, statics2, params2, state2 = _build(subject_dir)
+    trainer2 = create_trainer(network2, statics2, params2, state2)
+    assert trainer2.iter == saved_iter + 1
+    for x, y in zip(jax.tree_util.tree_leaves(trainer.params),
+                    jax.tree_util.tree_leaves(trainer2.params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 # ---------------------------------------------------------------------------
 @pytest.mark.parametrize("occnerf_mlp", [False, True])
 def test_train_step_decreases_nothing_blows_up(subject_dir, tmp_path,
