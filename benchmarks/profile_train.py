@@ -50,6 +50,10 @@ def main() -> None:
         "synthetic_dataset_path", subject_path,
         "progress.dump_interval", "1000000000",
         "train.save_checkpt_interval", "1000000000",
+        # sync init save: an async writer would stream ~780 MB through
+        # the slow device->host tunnel DURING the timed region and
+        # contend with the per-step scalar fetches
+        "tpu.async_checkpoint", "False",
         "train.log_interval", "1000000000",
     ] + args.opts)
     c.logdir = os.path.join(tmp, "logs")
